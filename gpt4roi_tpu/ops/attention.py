@@ -1,0 +1,215 @@
+"""Attention primitives.
+
+The reference gets fast training attention from a flash-attn CUDA monkey
+patch over LlamaAttention (reference:
+gpt4roi/train/llama_flash_attn_monkey_patch.py:12-98) and plain torch SDPA
+elsewhere. TPU-native equivalents:
+
+  * ``mha`` — XLA attention (softmax in fp32) — used for CLIP (257 tokens,
+    fusion makes this already near-roofline) and as the universal fallback;
+  * ``flash_attention`` — a Pallas blockwise-softmax kernel for the LLaMA
+    training path (long causal sequences, memory-linear), selected
+    automatically on TPU;
+  * ``decode_attention`` — single-query attention against a KV cache for
+    autoregressive decoding.
+
+Layouts: q/k/v are (B, S, N, D) — heads folded late so the MXU sees
+(S, D) @ (D, S) tiles per head batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -2.0e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def mha(
+    q: jax.Array,  # (B, Sq, N, D)
+    k: jax.Array,  # (B, Sk, N, D)
+    v: jax.Array,  # (B, Sk, N, D)
+    mask: Optional[jax.Array] = None,  # broadcastable to (B, N, Sq, Sk); True = keep
+    causal: bool = False,
+) -> jax.Array:
+    """Reference XLA attention. Softmax in fp32; returns q.dtype."""
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32) * scale
+    if causal:
+        sq, sk = q.shape[1], k.shape[1]
+        # query i attends to keys <= i + (Sk - Sq) (supports prefill/decode offsets)
+        qi = jnp.arange(sq)[:, None] + (sk - sq)
+        ki = jnp.arange(sk)[None, :]
+        cmask = ki <= qi
+        logits = jnp.where(cmask[None, None], logits, _NEG_INF)
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnqk,bknd->bqnd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (TPU training path)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, block_k, causal, scale):
+    """Grid: (B*N, num_q_blocks, num_k_blocks); k innermost so the fp32
+    accumulator in VMEM scratch carries across k blocks."""
+    import jax.experimental.pallas as pl
+
+    kb = pl.program_id(2)
+    qb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    block_q = q_ref.shape[0]
+    should_run = True
+    if causal:
+        # skip blocks strictly above the diagonal
+        should_run = kb * block_k <= (qb + 1) * block_q - 1
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[:].astype(jnp.float32)
+        k = k_ref[:].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+        qi = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kj = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if causal:
+            s = jnp.where(kj <= qi, s, _NEG_INF)
+        # segment mask: tokens only attend within their segment (padding = seg 0
+        # attends within padding; outputs there are discarded by the caller)
+        seg_q = seg_q_ref[:]  # (bq,)
+        seg_k = seg_k_ref[:]  # (bk,)
+        s = jnp.where(seg_q[:, None] == seg_k[None, :], s, _NEG_INF)
+
+        m_prev = m_ref[:]  # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finish():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[:] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k")
+)
+def flash_attention(
+    q: jax.Array,  # (B, Sq, N, D)
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,  # (B, S) int; 0 may be padding
+    causal: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    """Pallas blockwise (flash) attention for TPU; self-attention Sq == Sk."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, n, d = q.shape
+    assert k.shape == v.shape == (b, s, n, d)
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
+    if segment_ids is None:
+        segment_ids = jnp.zeros((b, s), jnp.int32)
+
+    scale = 1.0 / math.sqrt(d)
+    # fold heads into batch: (B*N, S, D)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, s, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, s, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, s, d)
+    seg = jnp.repeat(segment_ids, n, axis=0)  # (B*N, S)
+
+    grid = (b * n, s // block_q, s // block_k)
+    kernel = functools.partial(_flash_kernel, block_k=block_k, causal=causal, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda h, i, j: (h, i)),  # seg_q
+            pl.BlockSpec((1, block_k), lambda h, i, j: (h, j)),  # seg_k
+            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, s, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(seg, seg, qf, kf, vf)
+    return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
+
+
+def self_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    causal: bool = True,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatch: Pallas flash on TPU (when blocks divide), XLA otherwise."""
+    b, s, n, d = q.shape
+    if use_flash is None:
+        use_flash = _on_tpu() and s % 256 == 0 and d % 128 == 0
+    if use_flash:
+        return flash_attention(q, k, v, segment_ids, causal=causal)
+    mask = None
+    if segment_ids is not None:
+        mask = (segment_ids[:, None, :, None] == segment_ids[:, None, None, :])
+    return mha(q, k, v, mask=mask, causal=causal)
+
+
+def decode_attention(
+    q: jax.Array,  # (B, 1, N, D)
+    k_cache: jax.Array,  # (B, S, N, D)
+    v_cache: jax.Array,  # (B, S, N, D)
+    cache_len: jax.Array,  # (B,) valid prefix length
+) -> jax.Array:
+    """Single-step decode attention against a padded KV cache."""
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k_cache, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    s = k_cache.shape[1]
+    valid = jnp.arange(s)[None, :] < cache_len[:, None]  # (B, S)
+    logits = jnp.where(valid[:, None, None, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnqk,bknd->bqnd", probs.astype(v_cache.dtype), v_cache)
+    return out.astype(q.dtype)
