@@ -1,0 +1,240 @@
+"""Spatial Prompt Injection (SPI) module — the core new math of GPT4RoI.
+
+Re-architecture of ``MLVLROIQueryModule``/``MLVLFuseModule``/
+``MlvlRoIExtractor`` (reference: gpt4roi/models/layers.py:96-335) with static
+shapes: boxes arrive as a padded (B, R, 4) tensor + validity mask instead of
+per-image python lists, and the output is (B, R, out_dims) with exact zeros
+at padded slots.
+
+Pipeline (numerics identical to the reference):
+  1. 4 pyramid levels of ViT tokens (B, 256, C) -> (B, 16, 16, C) maps,
+     bilinear-upsampled (align_corners=True) to [128^2, 64^2, 32^2, 16^2]
+     (layers.py:218-232);
+  2. per-level concat of a 2-channel [-1, 1] coordinate grid (x then y;
+     layers.py:117-126), 1x1 input conv 1026 -> 1024 (layers.py:129-131);
+  3. ``num_fuse`` rounds of neighbour-level channel shuffling — each level
+     keeps its first 512 channels, imports channels [768:1024] from the level
+     above and [512:768] from the level below (bilinear-resized, fp32),
+     then a 3x3 conv (no bias) + GroupNorm(64) + ReLU (layers.py:152-180);
+  4. per-level aligned RoIAlign (output 14, sampling_ratio 2, strides
+     [1.75, 3.5, 7, 14], fp32 — layers.py:206-216, 307-313) on boxes scaled
+     from [0,1] to [0,224] (layers.py:297);
+  5. per-level 3x3 conv (with bias), summed + ReLU, flattened in (C, h, w)
+     order -> Linear(1024*14^2, 1024); plus a box MLP pos-embed
+     4 -> 256 -> 1024 computed on the *normalised* boxes (layers.py:284-285);
+     final ``updims`` Linear(1024 -> 4096) (layers.py:320-329).
+
+All convs run channels-last on the MXU; RoIAlign is the separable-matmul op
+from gpt4roi_tpu.ops.roi_align.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpt4roi_tpu.ops.interp import interpolate_bilinear
+from gpt4roi_tpu.ops.norms import group_norm, layer_norm
+from gpt4roi_tpu.ops.roi_align import roi_align
+
+
+@dataclasses.dataclass(frozen=True)
+class SpiConfig:
+    embed_dims: int = 1024
+    out_dims: int = 4096
+    num_levels: int = 4
+    num_fuse: int = 5
+    roi_output_size: int = 14
+    sampling_ratio: int = 2
+    base_grid: int = 16  # ViT token grid (16x16)
+    image_size: float = 224.0
+    gn_groups: int = 64
+    pos_hidden: int = 256
+    pos_dim: int = 1024
+
+    @property
+    def shuffle_channels(self) -> int:
+        return self.embed_dims // 4
+
+    @property
+    def remain_channels(self) -> int:
+        return self.embed_dims - 2 * self.shuffle_channels
+
+    @property
+    def level_sizes(self) -> List[int]:
+        # [base * 2^l for l] reversed -> finest first (layers.py:225-228)
+        return [self.base_grid * 2 ** (self.num_levels - 1 - l) for l in range(self.num_levels)]
+
+    @property
+    def strides(self) -> List[float]:
+        # image_size / level_size, e.g. 224/128 = 1.75 (layers.py:206)
+        return [self.image_size / s for s in self.level_sizes]
+
+    @classmethod
+    def tiny(cls) -> "SpiConfig":
+        return cls(embed_dims=32, out_dims=64, num_levels=3, num_fuse=2, roi_output_size=4, base_grid=4, image_size=28.0, gn_groups=8, pos_hidden=16, pos_dim=32)
+
+
+Params = Dict[str, Any]
+
+
+def _conv_init(key, kh, kw, cin, cout, std=0.01, bias=True, dtype=jnp.float32):
+    p = {"kernel": jax.random.normal(key, (kh, kw, cin, cout), dtype) * std}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _dense_init(key, cin, cout, dtype=jnp.float32):
+    return {
+        "kernel": jax.random.normal(key, (cin, cout), dtype) * (cin**-0.5),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def init_spi_params(key: jax.Array, cfg: SpiConfig, dtype=jnp.float32) -> Params:
+    d = cfg.embed_dims
+    keys = jax.random.split(key, cfg.num_levels * 2 + cfg.num_fuse + 4)
+    ki = iter(range(len(keys)))
+    # normal_init(std=0.01) on convs matches the reference (layers.py:146-150, 275-278)
+    input_convs = [_conv_init(keys[next(ki)], 1, 1, d + 2, d, dtype=dtype) for _ in range(cfg.num_levels)]
+    fuse_convs = [
+        {
+            "conv": _conv_init(keys[next(ki)], 3, 3, d, d, bias=False, dtype=dtype),
+            "gn": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        }
+        for _ in range(cfg.num_fuse)
+    ]
+    pconvs = [_conv_init(keys[next(ki)], 3, 3, d, d, dtype=dtype) for _ in range(cfg.num_levels)]
+    flat_in = d * cfg.roi_output_size**2
+    return {
+        "input_convs": input_convs,
+        "fuse_convs": fuse_convs,
+        "pconvs": pconvs,
+        "pos_embed": {
+            "fc1": _dense_init(keys[next(ki)], 4, cfg.pos_hidden, dtype),
+            "ln1": {"scale": jnp.ones((cfg.pos_hidden,), dtype), "bias": jnp.zeros((cfg.pos_hidden,), dtype)},
+            "fc2": _dense_init(keys[next(ki)], cfg.pos_hidden, cfg.pos_dim, dtype),
+            "ln2": {"scale": jnp.ones((cfg.pos_dim,), dtype), "bias": jnp.zeros((cfg.pos_dim,), dtype)},
+        },
+        "flatten_linear": _dense_init(keys[next(ki)], flat_in, cfg.pos_dim, dtype),
+        "updims": _dense_init(keys[next(ki)], cfg.pos_dim, cfg.out_dims, dtype),
+    }
+
+
+def _conv(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME") -> jax.Array:
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _dense(p: Params, x: jax.Array) -> jax.Array:
+    return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def coordinate_grid(h: int, w: int, dtype=jnp.float32) -> jax.Array:
+    """(H, W, 2) grid of [-1, 1] coords, channel order [x, y]
+    (layers.py:117-126)."""
+    x = jnp.linspace(-1.0, 1.0, w, dtype=dtype)
+    y = jnp.linspace(-1.0, 1.0, h, dtype=dtype)
+    xx = jnp.broadcast_to(x[None, :], (h, w))
+    yy = jnp.broadcast_to(y[:, None], (h, w))
+    return jnp.stack([xx, yy], axis=-1)
+
+
+def mlvl_fuse(params: Params, feats: List[jax.Array], cfg: SpiConfig) -> List[jax.Array]:
+    """Coordinate concat + input convs + num_fuse shuffle rounds."""
+    levels = []
+    for lvl, f in enumerate(feats):
+        h, w = f.shape[1], f.shape[2]
+        coord = jnp.broadcast_to(coordinate_grid(h, w, f.dtype), (f.shape[0], h, w, 2))
+        levels.append(_conv(params["input_convs"][lvl], jnp.concatenate([f, coord], axis=-1)))
+
+    n = cfg.num_levels
+    rc, sc = cfg.remain_channels, cfg.shuffle_channels
+    for fuse_p in params["fuse_convs"]:
+        new_levels = []
+        for lvl in range(n):
+            top = min(lvl + 1, n - 1)
+            down = max(lvl - 1, 0)
+            tar = levels[lvl]
+            hw = (tar.shape[1], tar.shape[2])
+            remain = tar[..., :rc]
+            from_top = interpolate_bilinear(levels[top][..., rc + sc :], hw, align_corners=True)
+            from_down = interpolate_bilinear(levels[down][..., rc : rc + sc], hw, align_corners=True)
+            fused = jnp.concatenate([remain, from_top, from_down], axis=-1)
+            y = _conv(fuse_p["conv"], fused)
+            y = group_norm(y, fuse_p["gn"]["scale"], fuse_p["gn"]["bias"], cfg.gn_groups)
+            new_levels.append(jax.nn.relu(y))
+        levels = new_levels
+    return levels
+
+
+def box_position_embedding(params: Params, boxes: jax.Array) -> jax.Array:
+    """MLP pos-embed on normalised boxes: Linear-ReLU-LN-Linear-ReLU-LN
+    (layers.py:260-267); applied before the x224 scaling (layers.py:284-285)."""
+    p = params["pos_embed"]
+    y = jax.nn.relu(_dense(p["fc1"], boxes))
+    y = layer_norm(y, p["ln1"]["scale"], p["ln1"]["bias"])
+    y = jax.nn.relu(_dense(p["fc2"], y))
+    return layer_norm(y, p["ln2"]["scale"], p["ln2"]["bias"])
+
+
+def spi_forward(
+    params: Params,
+    mlvl_feats: Sequence[jax.Array],  # num_levels x (B, P, C) ViT token maps
+    boxes: jax.Array,  # (B, R, 4) normalised [0, 1] x1 y1 x2 y2
+    box_mask: jax.Array,  # (B, R) bool — True for real boxes
+    cfg: SpiConfig,
+) -> jax.Array:
+    """Region queries (B, R, out_dims); padded slots are exact zeros."""
+    b, r = boxes.shape[0], boxes.shape[1]
+    g = cfg.base_grid
+    c = cfg.embed_dims
+    feats = [f.reshape(b, g, g, c) for f in mlvl_feats]
+    feats = [
+        interpolate_bilinear(f, (s, s), align_corners=True)
+        for f, s in zip(feats, cfg.level_sizes)
+    ]
+    feats = mlvl_fuse(params, feats, cfg)
+
+    flat_boxes = boxes.reshape(b * r, 4).astype(jnp.float32)
+    pos = box_position_embedding(params, flat_boxes)
+    batch_idx = jnp.where(
+        box_mask.reshape(b * r),
+        jnp.repeat(jnp.arange(b, dtype=jnp.int32), r),
+        -1,
+    )
+    scaled = flat_boxes * cfg.image_size
+
+    acc = None
+    for lvl in range(cfg.num_levels):
+        rf = roi_align(
+            feats[lvl],
+            scaled,
+            batch_idx,
+            cfg.roi_output_size,
+            1.0 / cfg.strides[lvl],
+            cfg.sampling_ratio,
+        ).astype(feats[lvl].dtype)  # (B*R, oh, ow, C) — fp32 align, cast back (layers.py:310-313)
+        y = _conv(params["pconvs"][lvl], rf)
+        acc = y if acc is None else acc + y
+    fused = jax.nn.relu(acc)
+    # flatten in (C, h, w) order to match the reference's NCHW flatten(1)
+    fused = fused.transpose(0, 3, 1, 2).reshape(b * r, -1)
+    out = _dense(params["flatten_linear"], fused)
+    out = out + pos.astype(out.dtype)
+    out = _dense(params["updims"], out)
+    out = out * box_mask.reshape(b * r, 1).astype(out.dtype)
+    return out.reshape(b, r, cfg.out_dims)

@@ -80,7 +80,7 @@ def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    block_q = q_ref.shape[0]
+    block_q = q_ref.shape[1]
     should_run = True
     if causal:
         # skip blocks strictly above the diagonal
@@ -88,8 +88,8 @@ def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[:].astype(jnp.float32)
-        k = k_ref[:].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (bq, bk)
@@ -98,10 +98,10 @@ def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref
         if causal:
             s = jnp.where(kj <= qi, s, _NEG_INF)
         # segment mask: tokens only attend within their segment (padding = seg 0
-        # attends within padding; outputs there are discarded by the caller)
-        seg_q = seg_q_ref[:]  # (bq,)
-        seg_k = seg_k_ref[:]  # (bk,)
-        s = jnp.where(seg_q[:, None] == seg_k[None, :], s, _NEG_INF)
+        # attends within padding; outputs there are discarded by the caller).
+        # seg_q arrives sublane-oriented (bq, 1), seg_k lane-oriented (1, bk)
+        # so the broadcast needs no in-kernel transpose.
+        s = jnp.where(seg_q_ref[0] == seg_k_ref[0], s, _NEG_INF)
 
         m_prev = m_ref[:]  # (bq, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -110,7 +110,7 @@ def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = m_new
@@ -119,7 +119,7 @@ def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref
     def _finish():
         l = l_ref[:]
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[:] = (acc_ref[:] / l).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -151,7 +151,9 @@ def flash_attention(
     qf = q.transpose(0, 2, 1, 3).reshape(b * n, s, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, s, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, s, d)
-    seg = jnp.repeat(segment_ids, n, axis=0)  # (B*N, S)
+    seg = jnp.repeat(segment_ids.astype(jnp.int32), n, axis=0)  # (B*N, S)
+    seg_q = seg[:, :, None]  # (B*N, S, 1) sublane-oriented
+    seg_k = seg[:, None, :]  # (B*N, 1, S) lane-oriented
 
     grid = (b * n, s // block_q, s // block_k)
     kernel = functools.partial(_flash_kernel, block_k=block_k, causal=causal, scale=scale)
@@ -159,8 +161,8 @@ def flash_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda h, i, j: (h, i)),  # seg_q
-            pl.BlockSpec((1, block_k), lambda h, i, j: (h, j)),  # seg_k
+            pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0)),  # seg_q
+            pl.BlockSpec((1, 1, block_k), lambda h, i, j: (h, 0, j)),  # seg_k
             pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
@@ -172,7 +174,7 @@ def flash_attention(
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-    )(seg, seg, qf, kf, vf)
+    )(seg_q, seg_k, qf, kf, vf)
     return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
 
 
