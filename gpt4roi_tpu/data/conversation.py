@@ -1,0 +1,99 @@
+"""Conversation templates + prompt assembly.
+
+Behaviour parity with ``llava/conversation.py`` for the styles GPT4RoI
+actually uses: v0/SINGLE (``###`` separator — training & serving default,
+conv_v1_2 at llava/conversation.py:202-230) and TWO (vicuna_v1_1). History
+management for serving lives in gpt4roi_tpu.serve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Tuple
+
+
+class SeparatorStyle(enum.Enum):
+    SINGLE = "single"
+    TWO = "two"
+
+
+@dataclasses.dataclass
+class Conversation:
+    system: str
+    roles: Tuple[str, str]
+    messages: List[List[Optional[str]]]
+    offset: int = 0
+    sep_style: SeparatorStyle = SeparatorStyle.SINGLE
+    sep: str = "###"
+    sep2: Optional[str] = None
+    version: str = "v0"
+
+    def get_prompt(self) -> str:
+        if self.sep_style == SeparatorStyle.SINGLE:
+            ret = self.system + self.sep
+            for role, message in self.messages:
+                if message:
+                    ret += role + ": " + message + self.sep
+                else:
+                    ret += role + ":"
+            return ret
+        if self.sep_style == SeparatorStyle.TWO:
+            seps = [self.sep, self.sep2 or ""]
+            ret = self.system + seps[0]
+            for i, (role, message) in enumerate(self.messages):
+                if message:
+                    ret += role + ": " + message + seps[i % 2]
+                else:
+                    ret += role + ":"
+            return ret
+        raise ValueError(self.sep_style)
+
+    def append_message(self, role: str, message: Optional[str]) -> None:
+        self.messages.append([role, message])
+
+    def copy(self) -> "Conversation":
+        return Conversation(
+            system=self.system,
+            roles=self.roles,
+            messages=[[r, m] for r, m in self.messages],
+            offset=self.offset,
+            sep_style=self.sep_style,
+            sep=self.sep,
+            sep2=self.sep2,
+            version=self.version,
+        )
+
+
+SYSTEM_V1 = (
+    "A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's questions."
+)
+
+conv_v0 = Conversation(
+    system=SYSTEM_V1,
+    roles=("Human", "Assistant"),
+    messages=[],
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+    version="v0",
+)
+
+conv_vicuna_v1_1 = Conversation(
+    system=SYSTEM_V1,
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+    version="v1",
+)
+
+conv_templates = {
+    "default": conv_v0,
+    "v0": conv_v0,
+    "v1": conv_vicuna_v1_1,
+    "vicuna_v1_1": conv_vicuna_v1_1,
+}
+
+default_conversation = conv_v0

@@ -1,0 +1,93 @@
+"""Multitask dataset mixture + batch iterator.
+
+Replaces ``make_multitask_data_module``/``build_spi_dataset``/
+``ConcatDataset`` (reference: gpt4roi/datasets/data_modules.py:58-211):
+string-typed dataset registry dispatch, per-dataset ``ratio`` random
+subsampling, concatenation, and a static-shape batch loader feeding the
+sharded train step (replacing torch DataLoader + DataCollatorForDetDataset).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import gpt4roi_tpu.data.datasets  # noqa: F401 — populates the DATASETS registry
+from gpt4roi_tpu.core.config import load_config
+from gpt4roi_tpu.core.registry import DATASETS
+from gpt4roi_tpu.data.collate import BatchSpec, collate
+
+
+class SubsetDataset:
+    def __init__(self, dataset, indices: np.ndarray):
+        self.dataset = dataset
+        self.indices = indices
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[int(self.indices[i])]
+
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence[Any]):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self.offsets[-1])
+
+    def __getitem__(self, i: int):
+        ds = int(np.searchsorted(self.offsets, i, side="right")) - 1
+        return self.datasets[ds][i - int(self.offsets[ds])]
+
+
+def build_spi_dataset(dataset_config, tokenizer=None, seed: int = 0, **kwargs):
+    if isinstance(dataset_config, list):
+        return ConcatDataset(
+            [build_spi_dataset(c, tokenizer=tokenizer, seed=seed, **kwargs) for c in dataset_config]
+    )
+    cfg = dict(dataset_config)
+    dataset_type = cfg.pop("type")
+    ratio = cfg.pop("ratio", 1)
+    dataset = DATASETS.get(dataset_type)(tokenizer=tokenizer, **cfg, **kwargs)
+    if ratio < 1:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(dataset), int(ratio * len(dataset)), replace=False)
+        return SubsetDataset(dataset, idx)
+    return dataset
+
+
+def make_multitask_dataset(dataset_config_path: str, tokenizer, seed: int = 0, **kwargs):
+    cfg = load_config(dataset_config_path)
+    return build_spi_dataset(list(cfg["spi_datasets"]), tokenizer=tokenizer, seed=seed, **kwargs)
+
+
+class BatchLoader:
+    """Shuffled epoch iterator -> static-shape numpy batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        spec: BatchSpec,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.spec = spec
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.rng.permutation(len(self.dataset))
+        for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            samples = [self.dataset[int(i)] for i in order[start : start + self.batch_size]]
+            yield collate(samples, self.spec)

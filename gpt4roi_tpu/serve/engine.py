@@ -1,0 +1,155 @@
+"""Inference engine: jitted SPI prefill + KV-cache decode.
+
+Replaces the reference's ``model.generate`` serving path (reference:
+gpt4roi/app.py:285-300 over HF generate + prepare_inputs_for_generation,
+llava/model/llava.py:263-283). Region/image features enter only at prefill;
+decode steps are pure LLaMA + KV cache (reference guard:
+gpt4roi/models/spi_llava.py:47-48).
+
+TPU-first: one compiled prefill (padded to a static bucket) and one compiled
+decode step reused for every token; sampling (greedy or temperature) happens
+on device; the stop-string check ('###', KeywordsStoppingCriteria in
+llava/model/utils.py:26-46) runs on host over decoded text.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, build_input_embeds
+from gpt4roi_tpu.models.llama import (
+    KVCache,
+    init_kv_cache,
+    llama_decode_step,
+    llama_forward,
+    write_prefill_kv,
+)
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_seq_len: int = 2048
+    prefill_bucket: int = 1024
+    max_regions: int = 32
+    temperature: float = 0.2
+    compute_dtype: Any = jnp.float32
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class Engine:
+    def __init__(self, params, cfg: Gpt4RoiConfig, ecfg: Optional[EngineConfig] = None):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg or EngineConfig()
+
+        cfg_ = self.cfg
+        dtype = self.ecfg.compute_dtype
+
+        @functools.partial(jax.jit, static_argnames=("prefill_len",))
+        def prefill_fn(params, input_ids, attention_mask, images, boxes, box_mask, prefill_len):
+            embeds = build_input_embeds(
+                params, cfg_, input_ids, images, boxes, box_mask, dtype
+            )
+            logits, _, kv = llama_forward(
+                params["llama"],
+                cfg_.llama,
+                inputs_embeds=embeds,
+                attention_mask=attention_mask,
+                return_kv=True,
+            )
+            return logits, kv
+
+        @jax.jit
+        def decode_fn(params, cache, token_ids, cache_len, temperature, key):
+            emb = params["llama"]["embed"]["embedding"][token_ids][:, None, :].astype(dtype)
+            logits, cache = llama_decode_step(params["llama"], cfg_.llama, cache, emb, cache_len)
+            greedy = jnp.argmax(logits, axis=-1)
+            scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+            sampled = jax.random.categorical(key, scaled, axis=-1)
+            next_tok = jnp.where(temperature > 0.0, sampled, greedy)
+            return next_tok.astype(jnp.int32), cache
+
+        self._prefill = prefill_fn
+        self._decode = decode_fn
+
+    def generate(
+        self,
+        input_ids: np.ndarray,  # (B, S) unpadded prompt (right-aligned content)
+        images: np.ndarray,  # (B, H, W, 3)
+        boxes: np.ndarray,  # (B, R, 4)
+        box_mask: np.ndarray,  # (B, R)
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        stop_token_ids: Sequence[int] = (),
+        stop_fn=None,  # callable(List[int]) -> bool, host-side stop check
+        seed: int = 0,
+    ) -> List[List[int]]:
+        b, s = input_ids.shape
+        # pad the prompt to a multiple of the bucket quantum so a handful of
+        # prefill lengths share compiled programs
+        bucket = _round_up(s, self.ecfg.prefill_bucket)
+        total = bucket + max_new_tokens
+        assert total <= self.ecfg.max_seq_len, (
+            f"prompt bucket {bucket} + {max_new_tokens} new tokens exceeds "
+            f"max_seq_len {self.ecfg.max_seq_len}"
+        )
+
+        ids = np.zeros((b, bucket), np.int32)
+        mask = np.zeros((b, bucket), np.float32)
+        ids[:, :s] = input_ids
+        mask[:, :s] = 1.0
+
+        logits, kv = self._prefill(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            jnp.asarray(images),
+            jnp.asarray(boxes),
+            jnp.asarray(box_mask),
+            bucket,
+        )
+        cache = init_kv_cache(self.cfg.llama, b, total, dtype=self.ecfg.compute_dtype)
+        cache = write_prefill_kv(cache, kv)
+
+        # next token from the last valid prompt position
+        lengths = np.full((b,), s, np.int32)
+        last_logits = np.asarray(logits)[np.arange(b), lengths - 1]
+        key = jax.random.PRNGKey(seed)
+        if temperature > 0:
+            key, sub = jax.random.split(key)
+            next_tok = np.asarray(
+                jax.random.categorical(sub, jnp.asarray(last_logits) / temperature, axis=-1)
+            ).astype(np.int32)
+        else:
+            next_tok = last_logits.argmax(-1).astype(np.int32)
+
+        outputs: List[List[int]] = [[int(t)] for t in next_tok]
+        done = np.zeros((b,), bool)
+        cache_len = jnp.asarray(lengths)
+        tok = jnp.asarray(next_tok)
+        for _ in range(max_new_tokens - 1):
+            for i in range(b):
+                if int(tok[i]) in stop_token_ids:
+                    done[i] = True
+                if stop_fn is not None and not done[i] and stop_fn(outputs[i]):
+                    done[i] = True
+            if done.all():
+                break
+            key, sub = jax.random.split(key)
+            tok, cache = self._decode(
+                self.params, cache, tok, cache_len, jnp.float32(temperature), sub
+            )
+            cache_len = cache_len + 1
+            for i in range(b):
+                if not done[i]:
+                    outputs[i].append(int(tok[i]))
+        return outputs

@@ -1,0 +1,96 @@
+"""Sharded training step.
+
+Replaces the reference's torchrun + HF Trainer + DDP/FSDP inner loop
+(reference: gpt4roi/train/train.py:698-712, train_stage2.sh:51-52): a single
+jitted step over a ``Mesh`` where batches shard on the ``data`` axis and
+large params shard FSDP-style on the same axis; XLA inserts the
+all-gather / reduce-scatter collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpt4roi_tpu.core.mesh import DATA_AXIS, tree_fsdp_shardings
+from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, gpt4roi_forward
+from gpt4roi_tpu.train.state import TrainConfig, TrainState, make_optimizer
+
+
+def loss_fn(params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dtype) -> jax.Array:
+    out = gpt4roi_forward(
+        params,
+        cfg,
+        batch["input_ids"],
+        batch["images"],
+        batch["boxes"],
+        batch["box_mask"],
+        attention_mask=batch["attention_mask"],
+        labels=batch["labels"],
+        compute_dtype=compute_dtype,
+    )
+    return out["loss"]
+
+
+def make_train_step(
+    cfg: Gpt4RoiConfig,
+    tcfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    compute_dtype=jnp.bfloat16,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch, compute_dtype)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step
+
+
+def shard_batch_spec(batch: Dict[str, Any]) -> Dict[str, P]:
+    return {k: P(DATA_AXIS) for k in batch}
+
+
+def make_sharded_train_step(
+    cfg: Gpt4RoiConfig,
+    tcfg: TrainConfig,
+    mesh: Mesh,
+    params: Any,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build (jitted_step, init_fn, param_shardings). ``init_fn`` places an
+    existing host param tree onto the mesh with FSDP shardings and creates
+    the optimizer state with matching layouts."""
+    tx = make_optimizer(tcfg, params)
+    step = make_train_step(cfg, tcfg, tx, compute_dtype)
+
+    param_sh = tree_fsdp_shardings(params, mesh)
+    repl = NamedSharding(mesh, P())
+
+    def init_state(host_params) -> TrainState:
+        dev_params = jax.tree_util.tree_map(jax.device_put, host_params, param_sh)
+        opt_state = jax.jit(
+            tx.init,
+            out_shardings=None,  # let XLA propagate from param shardings
+        )(dev_params)
+        return TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), repl),
+            params=dev_params,
+            opt_state=opt_state,
+        )
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    jit_step = jax.jit(
+        step,
+        in_shardings=(None, batch_sh),
+        donate_argnums=(0,),
+    )
+    return jit_step, init_state, param_sh
