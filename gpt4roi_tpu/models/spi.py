@@ -38,7 +38,21 @@ import jax.numpy as jnp
 
 from gpt4roi_tpu.ops.interp import interpolate_bilinear
 from gpt4roi_tpu.ops.norms import group_norm, layer_norm
-from gpt4roi_tpu.ops.roi_align import roi_align
+from gpt4roi_tpu.ops.roi_align import roi_align_batched
+
+
+def _roi_align(feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio):
+    """Backend dispatch: Pallas tap-kernel on TPU (HBM-bandwidth-bound,
+    features streamed once per image), vmapped XLA matmuls elsewhere."""
+    if jax.default_backend() == "tpu":
+        from gpt4roi_tpu.ops.roi_align_pallas import roi_align_batched_pallas
+
+        return roi_align_batched_pallas(
+            feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio
+        )
+    return roi_align_batched(
+        feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,23 +225,21 @@ def spi_forward(
 
     flat_boxes = boxes.reshape(b * r, 4).astype(jnp.float32)
     pos = box_position_embedding(params, flat_boxes)
-    batch_idx = jnp.where(
-        box_mask.reshape(b * r),
-        jnp.repeat(jnp.arange(b, dtype=jnp.int32), r),
-        -1,
-    )
-    scaled = flat_boxes * cfg.image_size
+    scaled = boxes.astype(jnp.float32) * cfg.image_size  # (B, R, 4)
 
     acc = None
     for lvl in range(cfg.num_levels):
-        rf = roi_align(
+        rf = _roi_align(
             feats[lvl],
             scaled,
-            batch_idx,
+            box_mask,
             cfg.roi_output_size,
             1.0 / cfg.strides[lvl],
             cfg.sampling_ratio,
-        ).astype(feats[lvl].dtype)  # (B*R, oh, ow, C) — fp32 align, cast back (layers.py:310-313)
+        )
+        # (B, R, oh, ow, C) fp32 align, cast back (layers.py:310-313)
+        rf = rf.reshape(b * r, cfg.roi_output_size, cfg.roi_output_size, cfg.embed_dims)
+        rf = rf.astype(feats[lvl].dtype)
         y = _conv(params["pconvs"][lvl], rf)
         acc = y if acc is None else acc + y
     fused = jax.nn.relu(acc)

@@ -122,3 +122,37 @@ def roi_align(
     tmp = jnp.einsum("rim,mwc->riwc", ayb, f32, precision=jax.lax.Precision.HIGHEST)
     out = jnp.einsum("rjw,riwc->rijc", ax, tmp, precision=jax.lax.Precision.HIGHEST)
     return out
+
+
+def roi_align_batched(
+    feats: jax.Array,  # (B, H, W, C)
+    boxes: jax.Array,  # (B, R, 4) — slot (b, r) belongs to image b
+    box_mask: jax.Array,  # (B, R) — False slots yield exact zeros
+    output_size: int | Tuple[int, int] = 14,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jax.Array:
+    """Structured RoIAlign -> (B, R, oh, ow, C) float32.
+
+    The SPI extractor always has a static roi->image structure (R padded
+    slots per image), so instead of the generic one-hot batch fold (which
+    costs an extra factor of B in FLOPs) this vmaps the two per-image
+    matmuls: out_b = Ay_b @ feat_b @ Ax_b^T. This is the production path
+    used by spi_forward.
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    _, h, w, _ = feats.shape
+
+    def one(feat, bxs, msk):
+        ay, ax = roi_align_matrices(
+            bxs, (h, w), output_size, spatial_scale, sampling_ratio, aligned
+        )
+        tmp = jnp.einsum(
+            "rih,hwc->riwc", ay, feat.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
+        )
+        out = jnp.einsum("rjw,riwc->rijc", ax, tmp, precision=jax.lax.Precision.HIGHEST)
+        return out * msk[:, None, None, None].astype(jnp.float32)
+
+    return jax.vmap(one)(feats, boxes, box_mask)

@@ -1,0 +1,214 @@
+"""Pallas TPU RoIAlign — the production kernel behind the SPI extractor.
+
+Replaces the reference's CUDA kernel (one thread per output element, gather
++ atomicAdd backward; mmcv csrc/common/cuda/roi_align_cuda_kernel.cuh) with
+a TPU-native formulation:
+
+  * separability: each pooled output row/col is a weighted sum of <= 2*g
+    feature rows/cols (g = sampling_ratio), so RoIAlign factorises into a
+    sparse y-contraction then a sparse x-contraction;
+  * the kernel grid is (B, C_blocks, R) with rois innermost: the (H, W, CB)
+    feature block index depends only on (B, C_block), so Pallas's pipeline
+    fetches each feature tile from HBM ONCE per image and all R rois reuse
+    it from VMEM — the op is HBM-bandwidth-bound at B*H*W*C bytes instead
+    of compute-bound like a dense interpolation-matrix matmul (factor H/4
+    fewer FLOPs) or per-roi streaming (factor R less traffic);
+  * tap indices live in SMEM (scalar memory) per roi; weighted dynamic
+    row slices run on the VPU;
+  * backward: scatter-free — d feat = sum_r Ay_r^T d out_r Ax_r, evaluated
+    as XLA einsums per image (bitwise deterministic, unlike atomicAdd).
+
+Numerics match mmcv aligned=True avg mode exactly (same clamp rules; weights
+fold the sample-grid average; out-of-range samples contribute 0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from gpt4roi_tpu.ops.roi_align import roi_align_matrices
+
+
+def _axis_taps(
+    start: jax.Array,  # (N,) scaled continuous start
+    length: jax.Array,  # (N,)
+    out_size: int,
+    g: int,
+    in_size: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse tap representation of the pooled interpolation matrix:
+    taps (N, out, 2g) int32, weights (N, out, 2g) fp32 with the 1/g pooling
+    average folded in. Semantics identical to roi_align._axis_matrices."""
+    n = start.shape[0]
+    bin_size = length / out_size
+    ph = jnp.arange(out_size, dtype=jnp.float32)[None, :, None]
+    iy = jnp.arange(g, dtype=jnp.float32)[None, None, :]
+    pos = start[:, None, None] + (ph + (iy + 0.5) / g) * bin_size[:, None, None]  # (N, out, g)
+    oor = (pos < -1.0) | (pos > float(in_size))
+    pc = jnp.clip(pos, 0.0, float(in_size - 1))
+    lo = jnp.minimum(jnp.floor(pc), float(max(in_size - 2, 0)))
+    frac = pc - lo
+    lo_i = lo.astype(jnp.int32)
+    w_lo = jnp.where(oor, 0.0, (1.0 - frac) / g)
+    w_hi = jnp.where(oor, 0.0, frac / g)
+    taps = jnp.concatenate([lo_i, lo_i + 1], axis=-1)  # (N, out, 2g)
+    wts = jnp.concatenate([w_lo, w_hi], axis=-1).astype(jnp.float32)
+    return taps, wts
+
+
+def _kernel(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, tmp_ref, *, oh, ow, ntap):
+    """Grid (B, C_blocks, R); feat block (1, H, W, CB) resident across R.
+
+    Dynamic tap indexing must go through refs on TPU, so the y-contraction
+    stages pooled rows into a VMEM scratch which the x-contraction then
+    tap-slices.
+    """
+    # y-contraction: pooled rows (OH, W, CB) into scratch
+    for i in range(oh):
+        acc = None
+        for t in range(ntap):
+            idx = ytap_ref[0, i, t]
+            wt = ywt_ref[0, i, t]
+            sl = feat_ref[0, pl.ds(idx, 1), :, :]  # (1, W, CB)
+            sl = sl.astype(jnp.float32) * wt
+            acc = sl if acc is None else acc + sl
+        tmp_ref[pl.ds(i, 1)] = acc
+    # x-contraction: (OH, OW, CB)
+    cols = []
+    for j in range(ow):
+        acc = None
+        for t in range(ntap):
+            idx = xtap_ref[0, j, t]
+            wt = xwt_ref[0, j, t]
+            sl = tmp_ref[:, pl.ds(idx, 1), :] * wt  # (OH, 1, CB)
+            acc = sl if acc is None else acc + sl
+        cols.append(acc)
+    out_ref[0, 0] = jnp.concatenate(cols, axis=1)  # (OH, OW, CB)
+
+
+def _pick_cblock(
+    c: int, h: int, w: int, oh: int, bytes_per_elem: int, budget: int = 20 * 2**20
+) -> int:
+    """Largest channel block whose double-buffered feature tile + fp32 row
+    scratch fit the VMEM budget."""
+    cb = min(c, 512)
+
+    def vmem(cb_: int) -> int:
+        return 2 * h * w * cb_ * bytes_per_elem + oh * w * cb_ * 4
+
+    while cb > 32 and vmem(cb) > budget:
+        cb //= 2
+    while c % cb != 0:
+        cb //= 2
+    return max(cb, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned"))
+def _roi_align_pallas_fwd(
+    feats: jax.Array,  # (B, H, W, C)
+    boxes: jax.Array,  # (B, R, 4) input-image coords (pre-scale)
+    box_mask: jax.Array,  # (B, R)
+    output_size: int = 14,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jax.Array:
+    b, h, w, c = feats.shape
+    r = boxes.shape[1]
+    oh = ow = output_size
+    g = sampling_ratio
+    ntap = 2 * g
+
+    flat = boxes.reshape(b * r, 4).astype(jnp.float32)
+    offset = 0.5 if aligned else 0.0
+    x1 = flat[:, 0] * spatial_scale - offset
+    y1 = flat[:, 1] * spatial_scale - offset
+    bw = flat[:, 2] * spatial_scale - offset - x1
+    bh = flat[:, 3] * spatial_scale - offset - y1
+    if not aligned:
+        bw = jnp.maximum(bw, 1.0)
+        bh = jnp.maximum(bh, 1.0)
+    ytap, ywt = _axis_taps(y1, bh, oh, g, h)
+    xtap, xwt = _axis_taps(x1, bw, ow, g, w)
+    mask = box_mask.reshape(b * r, 1, 1).astype(jnp.float32)
+    ywt = ywt * mask  # invalid rois -> all-zero weights -> exact zero output
+    xwt = xwt * mask
+
+    cb = _pick_cblock(c, h, w, oh, feats.dtype.itemsize)
+    grid = (b, c // cb, r)
+    kernel = functools.partial(_kernel, oh=oh, ow=ow, ntap=ntap)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, oh, ntap), lambda bi, ci, ri: (bi * r + ri, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ow, ntap), lambda bi, ci, ri: (bi * r + ri, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, oh, ntap), lambda bi, ci, ri: (bi * r + ri, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ow, ntap), lambda bi, ci, ri: (bi * r + ri, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, cb), lambda bi, ci, ri: (bi, 0, 0, ci)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, oh, ow, cb), lambda bi, ci, ri: (bi, ri, 0, 0, ci)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r, oh, ow, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((oh, w, cb), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (oh * ntap * w * c + oh * ow * ntap * c),
+            bytes_accessed=b * h * w * c * feats.dtype.itemsize + b * r * oh * ow * c * 4,
+            transcendentals=0,
+        ),
+    )(ytap, xtap, ywt, xwt, feats)
+    return out
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def roi_align_batched_pallas(
+    feats: jax.Array,
+    boxes: jax.Array,
+    box_mask: jax.Array,
+    output_size: int = 14,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jax.Array:
+    """(B, H, W, C), (B, R, 4), (B, R) -> (B, R, oh, ow, C) float32."""
+    return _roi_align_pallas_fwd(
+        feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio, aligned
+    )
+
+
+def _fwd(feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio, aligned):
+    out = _roi_align_pallas_fwd(
+        feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio, aligned
+    )
+    return out, (feats, boxes, box_mask)
+
+
+def _bwd(output_size, spatial_scale, sampling_ratio, aligned, res, g):
+    feats, boxes, box_mask = res
+    b, h, w, c = feats.shape
+    osz = (output_size, output_size) if isinstance(output_size, int) else output_size
+
+    def one(bxs, msk, dout):
+        ay, ax = roi_align_matrices(bxs, (h, w), osz, spatial_scale, sampling_ratio, aligned)
+        m = msk[:, None, None].astype(jnp.float32)
+        # dfeat = sum_r Ay_r^T dOut_r Ax_r — deterministic, no atomics
+        return jnp.einsum(
+            "rih,rijc,rjw->hwc", ay * m, dout.astype(jnp.float32), ax,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    dfeats = jax.vmap(one)(boxes.astype(jnp.float32), box_mask, g).astype(feats.dtype)
+    return dfeats, jnp.zeros_like(boxes), None
+
+
+roi_align_batched_pallas.defvjp(_fwd, _bwd)

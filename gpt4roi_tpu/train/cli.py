@@ -1,0 +1,228 @@
+"""Training entry points: ``python -m gpt4roi_tpu.train.cli stage1|stage2``.
+
+Replaces ``train_stage1.sh``/``train_stage2.sh`` + torchrun + HF Trainer
+(reference: gpt4roi/train/train.py:541-715). The env-var switches the
+reference relies on (ONLY_SPI/PROJ/NORM_ATTN/SAVE_MEMORY) become explicit
+flags; parallelism is a jax Mesh instead of process ranks (multi-host: call
+``jax.distributed.initialize`` before building the mesh, controlled by
+``--multihost``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="gpt4roi_tpu trainer")
+    p.add_argument("stage", choices=["stage1", "stage1_proj", "stage2", "all"])
+    p.add_argument("--model_name_or_path", default=None, help="HF llama/vicuna checkpoint dir")
+    p.add_argument("--vision_tower", default=None, help="HF CLIP checkpoint dir")
+    p.add_argument("--pretrain_mm_mlp_adapter", default=None, help="projector .bin")
+    p.add_argument("--init_params_npz", default=None, help="npz param export to warm-start from")
+    p.add_argument("--stage1_checkpoint", default=None, help="weights-only init from stage-1 ckpt dir")
+    p.add_argument("--dataset_config", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--per_device_batch_size", type=int, default=2)
+    p.add_argument("--num_epochs", type=int, default=2)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--warmup_ratio", type=float, default=0.003)
+    p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--max_regions", type=int, default=32)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--logging_steps", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--multihost", action="store_true")
+    p.add_argument("--tiny_model", action="store_true", help="debug: tiny config")
+    p.add_argument("--max_steps", type=int, default=0, help="debug: stop early")
+    return p.parse_args(argv)
+
+
+def build_tokenizer(model_path: Optional[str], model_max_length: int):
+    from transformers import AutoTokenizer
+
+    from gpt4roi_tpu.data.constants import SPECIAL_TOKENS
+
+    tok = AutoTokenizer.from_pretrained(
+        model_path, model_max_length=model_max_length, use_fast=True
+    )
+    if tok.pad_token is None:
+        tok.pad_token = tok.unk_token or tok.eos_token
+    tok.add_tokens(SPECIAL_TOKENS, special_tokens=True)
+    return tok
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+    import jax
+    import jax.numpy as jnp
+
+    from gpt4roi_tpu.core.mesh import make_mesh
+    from gpt4roi_tpu.data.collate import BatchSpec
+    from gpt4roi_tpu.data.constants import SPECIAL_TOKENS
+    from gpt4roi_tpu.data.module import BatchLoader, make_multitask_dataset
+    from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
+    from gpt4roi_tpu.train import checkpoints as ckpt
+    from gpt4roi_tpu.train.loop import make_sharded_train_step
+    from gpt4roi_tpu.train.state import TrainConfig
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    global_batch = args.per_device_batch_size * n_dev
+
+    # --- tokenizer + model config ----------------------------------------
+    if args.tiny_model or args.model_name_or_path is None:
+        from tests.toy_tokenizer import ToyTokenizer  # pragma: no cover - debug path
+
+        tokenizer = ToyTokenizer(model_max_length=args.model_max_length)
+        tokenizer.convert_tokens_to_ids(SPECIAL_TOKENS)
+        cfg = Gpt4RoiConfig.tiny(vocab_size=512)
+    else:
+        tokenizer = build_tokenizer(args.model_name_or_path, args.model_max_length)
+        ids = tokenizer.convert_tokens_to_ids(SPECIAL_TOKENS)
+        import dataclasses
+
+        from gpt4roi_tpu.models.llama import LlamaConfig
+
+        cfg = Gpt4RoiConfig(
+            llama=LlamaConfig.llama_7b(vocab_size=len(tokenizer)),
+            im_patch_token_id=ids[0],
+            bbox_token_id=ids[1],
+            point_token_id=ids[2],
+            im_start_token_id=ids[3],
+            im_end_token_id=ids[4],
+        )
+
+    # --- params -----------------------------------------------------------
+    key = jax.random.PRNGKey(args.seed)
+    params = init_gpt4roi_params(key, cfg)
+    if args.model_name_or_path and not args.tiny_model:
+        params = load_pretrained(params, cfg, args)
+    if args.init_params_npz:
+        params = ckpt.load_params_npz(args.init_params_npz, params)
+    if args.stage1_checkpoint:
+        params = ckpt.restore_params_only(args.stage1_checkpoint, params)
+
+    # --- data -------------------------------------------------------------
+    dataset = make_multitask_dataset(
+        args.dataset_config, tokenizer, seed=args.seed,
+        patch_size=cfg.clip.patch_size, image_size=cfg.clip.image_size,
+    )
+    spec = BatchSpec(
+        seq_len=args.model_max_length,
+        max_regions=args.max_regions,
+        image_size=cfg.clip.image_size,
+        pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
+    )
+    loader = BatchLoader(dataset, global_batch, spec, seed=args.seed)
+    steps_per_epoch = len(loader)
+    total_steps = steps_per_epoch * args.num_epochs
+    if args.max_steps:
+        total_steps = min(total_steps, args.max_steps)
+
+    tcfg = TrainConfig(
+        stage=args.stage,
+        learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps,
+        warmup_ratio=args.warmup_ratio,
+        total_steps=total_steps,
+    )
+    compute_dtype = jnp.bfloat16 if args.bf16 and jax.default_backend() == "tpu" else jnp.float32
+    jit_step, init_state, _ = make_sharded_train_step(cfg, tcfg, mesh, params, compute_dtype)
+    state = init_state(params)
+    del params
+
+    # auto-resume (reference: train.py:708-712)
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    last = ckpt.latest_step(ckpt_dir)
+    if last is not None:
+        print(f"auto-resuming from step {last}")
+        state = ckpt.restore_checkpoint(ckpt_dir, state)
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    step = int(np.asarray(state.step))
+    log_path = os.path.join(args.output_dir, "train.log")
+    t_start = time.time()
+    done = False
+    for epoch in range(args.num_epochs):
+        if done:
+            break
+        for batch in loader:
+            if step >= total_steps:
+                done = True
+                break
+            batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
+            state, metrics = jit_step(state, batch)
+            step += 1
+            if step % args.logging_steps == 0:
+                loss = float(metrics["loss"])
+                line = json.dumps(
+                    {"step": step, "epoch": epoch, "loss": round(loss, 5),
+                     "grad_norm": round(float(metrics["grad_norm"]), 4),
+                     "elapsed_s": round(time.time() - t_start, 1)}
+                )
+                print(line)
+                with open(log_path, "a") as f:
+                    f.write(line + "\n")
+            if step % args.save_steps == 0:
+                ckpt.save_checkpoint(ckpt_dir, state, step)
+    ckpt.save_checkpoint(ckpt_dir, state, step)
+    ckpt.save_params_npz(os.path.join(args.output_dir, "params_final.npz"), state.params)
+    print(f"training done at step {step}")
+
+
+def load_pretrained(params, cfg, args):
+    """Load HF llama + CLIP + projector weights (reference:
+    llava/model/llava.py:54-86, spi_llava.py:260-296)."""
+    import torch
+
+    from gpt4roi_tpu.utils.weights import convert_clip_vision, convert_llama
+
+    if args.vision_tower:
+        from transformers import CLIPVisionModel
+
+        clip = CLIPVisionModel.from_pretrained(args.vision_tower)
+        params["clip"] = convert_clip_vision(clip.state_dict(), cfg.clip.num_layers)
+    from transformers import AutoModelForCausalLM
+
+    lm = AutoModelForCausalLM.from_pretrained(args.model_name_or_path, torch_dtype=torch.float32)
+    lm.resize_token_embeddings(cfg.llama.vocab_size)
+    # new-token embeddings <- mean of old (spi_llava.py:260-272)
+    with torch.no_grad():
+        n_new = cfg.llama.vocab_size - lm.config.vocab_size if lm.config.vocab_size < cfg.llama.vocab_size else 0
+        if n_new > 0:
+            emb = lm.get_input_embeddings().weight
+            emb[-n_new:] = emb[:-n_new].mean(0, keepdim=True)
+            out = lm.get_output_embeddings().weight
+            out[-n_new:] = out[:-n_new].mean(0, keepdim=True)
+    params["llama"] = convert_llama(lm.state_dict(), cfg.llama.num_layers)
+    if args.pretrain_mm_mlp_adapter:
+        sd = torch.load(args.pretrain_mm_mlp_adapter, map_location="cpu")
+        w = sd["model.mm_projector.weight"].float().numpy()
+        b = sd["model.mm_projector.bias"].float().numpy()
+        params["mm_projector"] = {"kernel": w.T.copy(), "bias": b}
+        if "model.embed_tokens.weight" in sd:
+            et = sd["model.embed_tokens.weight"].float().numpy()
+            emb = params["llama"]["embed"]["embedding"]
+            n = min(len(et), len(emb))
+            emb[:n] = et[:n]
+    return params
+
+
+if __name__ == "__main__":
+    main()

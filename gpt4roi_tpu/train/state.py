@@ -59,10 +59,16 @@ def param_labels(params: Any, stage: str) -> Any:
 
 def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
     warmup = cfg.warmup_steps or int(cfg.warmup_ratio * cfg.total_steps)
+    if warmup <= 0:
+        return optax.cosine_decay_schedule(
+            init_value=cfg.learning_rate,
+            decay_steps=max(cfg.total_steps, 2),
+            alpha=cfg.min_lr_ratio,
+        )
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.learning_rate,
-        warmup_steps=max(warmup, 1),
+        warmup_steps=warmup,
         decay_steps=max(cfg.total_steps, 2),
         end_value=cfg.learning_rate * cfg.min_lr_ratio,
     )

@@ -42,7 +42,7 @@ def batch_dict(cfg, rng, b=2):
 
 def test_stage1_only_spi_updates(tiny, rng):
     cfg, params = tiny
-    tcfg = TrainConfig(stage="stage1", learning_rate=1e-3, total_steps=10, warmup_steps=1)
+    tcfg = TrainConfig(stage="stage1", learning_rate=1e-3, total_steps=10, warmup_steps=0)
     tx = make_optimizer(tcfg, params)
     state = create_train_state(params, tcfg)
     step = make_train_step(cfg, tcfg, tx, compute_dtype=jnp.float32)
@@ -64,7 +64,7 @@ def test_stage1_only_spi_updates(tiny, rng):
 
 def test_stage2_llama_updates_clip_frozen(tiny, rng):
     cfg, params = tiny
-    tcfg = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=10, warmup_steps=1)
+    tcfg = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=10, warmup_steps=0)
     tx = make_optimizer(tcfg, params)
     state = create_train_state(params, tcfg)
     step = make_train_step(cfg, tcfg, tx, compute_dtype=jnp.float32)
@@ -89,7 +89,7 @@ def test_stage2_llama_updates_clip_frozen(tiny, rng):
 
 def test_loss_decreases(tiny, rng):
     cfg, params = tiny
-    tcfg = TrainConfig(stage="stage2", learning_rate=5e-3, total_steps=30, warmup_steps=1)
+    tcfg = TrainConfig(stage="stage2", learning_rate=5e-3, total_steps=30, warmup_steps=0)
     tx = make_optimizer(tcfg, params)
     state = create_train_state(params, tcfg)
     step = jax.jit(make_train_step(cfg, tcfg, tx, compute_dtype=jnp.float32))
@@ -105,7 +105,7 @@ def test_sharded_train_step_8dev(tiny, rng):
     cfg, params = tiny
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
     mesh = make_mesh(jax.devices()[:8])
-    tcfg = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=10, warmup_steps=1)
+    tcfg = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=10, warmup_steps=0)
     jit_step, init_state, param_sh = make_sharded_train_step(
         cfg, tcfg, mesh, params, compute_dtype=jnp.float32
     )
