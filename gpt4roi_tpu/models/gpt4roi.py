@@ -50,6 +50,10 @@ class Gpt4RoiConfig:
     clip: ClipVisionConfig = dataclasses.field(default_factory=ClipVisionConfig.vit_l_14)
     llama: LlamaConfig = dataclasses.field(default_factory=LlamaConfig.llama_7b)
     spi: SpiConfig = dataclasses.field(default_factory=SpiConfig)
+    # 'llama' (primary) or 'mpt' (the reference's secondary path, selected
+    # when the model name contains 'mpt' — gpt4roi/train/train.py:547-551).
+    decoder_type: str = "llama"
+    mpt: Optional[Any] = None  # models.mpt.MptConfig when decoder_type == 'mpt'
     num_image_tokens: int = 256
     vision_select_layer: int = -2
     num_pyramid_levels: int = 4
@@ -138,6 +142,10 @@ def encode_vision(
     return image_feats, spi_feats
 
 
+def decoder_params(params: Params, cfg: Gpt4RoiConfig) -> Params:
+    return params["mpt"] if cfg.decoder_type == "mpt" else params["llama"]
+
+
 def build_input_embeds(
     params: Params,
     cfg: Gpt4RoiConfig,
@@ -147,7 +155,7 @@ def build_input_embeds(
     box_mask: jax.Array,
     compute_dtype=jnp.float32,
 ) -> jax.Array:
-    embeds = params["llama"]["embed"]["embedding"][input_ids].astype(compute_dtype)
+    embeds = decoder_params(params, cfg)["embed"]["embedding"][input_ids].astype(compute_dtype)
     image_feats, spi_feats = encode_vision(params, cfg, images, boxes, box_mask, compute_dtype)
     patch_mask = input_ids == cfg.im_patch_token_id
     embeds = masked_scatter_embeds(embeds, patch_mask, image_feats)
@@ -168,17 +176,31 @@ def gpt4roi_forward(
     compute_dtype=jnp.float32,
     use_flash: Optional[bool] = None,
     return_kv: bool = False,
+    remat: bool = False,
 ):
     """Full forward. Returns dict with logits, loss (if labels), kv (opt)."""
     embeds = build_input_embeds(params, cfg, input_ids, images, boxes, box_mask, compute_dtype)
-    logits, hidden, kv = llama_forward(
-        params["llama"],
-        cfg.llama,
-        inputs_embeds=embeds,
-        attention_mask=attention_mask,
-        return_kv=return_kv,
-        use_flash=use_flash,
-    )
+    if cfg.decoder_type == "mpt":
+        from gpt4roi_tpu.models.mpt import mpt_forward
+
+        logits, hidden, kv = mpt_forward(
+            params["mpt"],
+            cfg.mpt,
+            inputs_embeds=embeds,
+            attention_mask=attention_mask,
+            return_kv=return_kv,
+            remat=remat,
+        )
+    else:
+        logits, hidden, kv = llama_forward(
+            params["llama"],
+            cfg.llama,
+            inputs_embeds=embeds,
+            attention_mask=attention_mask,
+            return_kv=return_kv,
+            use_flash=use_flash,
+            remat=remat,
+        )
     out = {"logits": logits, "hidden": hidden, "kv": kv}
     if labels is not None:
         out["loss"] = shifted_cross_entropy(logits, labels)

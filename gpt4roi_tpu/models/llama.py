@@ -146,8 +146,12 @@ def llama_forward(
     positions: Optional[jax.Array] = None,  # (B, S)
     return_kv: bool = False,
     use_flash: Optional[bool] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Optional[List[Tuple[jax.Array, jax.Array]]]]:
-    """Full (prefill/training) forward. Returns (logits, final_hidden, kv)."""
+    """Full (prefill/training) forward. Returns (logits, final_hidden, kv).
+
+    ``remat=True`` rematerialises each decoder layer in the backward pass
+    (the reference's --gradient_checkpointing; train_stage1.sh:33)."""
     if inputs_embeds is None:
         assert input_ids is not None
         inputs_embeds = params["embed"]["embedding"][input_ids]
@@ -161,24 +165,31 @@ def llama_forward(
 
     cos, sin = rope_tables(cfg, positions)
     nh, nkv, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
-    x = inputs_embeds
-    kv_out: List[Tuple[jax.Array, jax.Array]] = []
-    for lp in params["layers"]:
+
+    def layer_fn(x, lp):
         y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
         q = _proj(lp["q"], y).reshape(b, s, nh, hd)
         k = _proj(lp["k"], y).reshape(b, s, nkv, hd)
         v = _proj(lp["v"], y).reshape(b, s, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if return_kv:
-            kv_out.append((k, v))
         kr = _repeat_kv(k, nh // nkv)
         vr = _repeat_kv(v, nh // nkv)
         att = self_attention(q, kr, vr, segment_ids=segment_ids, causal=True, use_flash=use_flash)
         x = x + _proj(lp["o"], att.reshape(b, s, d))
         y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
         y = _proj(lp["down"], jax.nn.silu(_proj(lp["gate"], y)) * _proj(lp["up"], y))
-        x = x + y
+        return x + y, (k, v)
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    x = inputs_embeds
+    kv_out: List[Tuple[jax.Array, jax.Array]] = []
+    for lp in params["layers"]:
+        x, kv = layer_fn(x, lp)
+        if return_kv:
+            kv_out.append(kv)
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
     logits = _proj(params["lm_head"], x)
     return logits, x, (kv_out if return_kv else None)

@@ -22,7 +22,9 @@ from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, gpt4roi_forward
 from gpt4roi_tpu.train.state import TrainConfig, TrainState, make_optimizer
 
 
-def loss_fn(params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dtype) -> jax.Array:
+def loss_fn(
+    params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dtype, remat: bool = True
+) -> jax.Array:
     out = gpt4roi_forward(
         params,
         cfg,
@@ -33,6 +35,7 @@ def loss_fn(params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dty
         attention_mask=batch["attention_mask"],
         labels=batch["labels"],
         compute_dtype=compute_dtype,
+        remat=remat,
     )
     return out["loss"]
 
@@ -64,14 +67,16 @@ def make_sharded_train_step(
     mesh: Mesh,
     params: Any,
     compute_dtype=jnp.bfloat16,
+    fsdp_min_size: int = 2**16,
 ):
     """Build (jitted_step, init_fn, param_shardings). ``init_fn`` places an
     existing host param tree onto the mesh with FSDP shardings and creates
-    the optimizer state with matching layouts."""
+    the optimizer state with matching layouts. Params smaller than
+    ``fsdp_min_size`` elements stay replicated."""
     tx = make_optimizer(tcfg, params)
     step = make_train_step(cfg, tcfg, tx, compute_dtype)
 
-    param_sh = tree_fsdp_shardings(params, mesh)
+    param_sh = tree_fsdp_shardings(params, mesh, fsdp_min_size)
     repl = NamedSharding(mesh, P())
 
     def init_state(host_params) -> TrainState:

@@ -92,6 +92,29 @@ def convert_llama(sd: Mapping[str, Any], num_layers: int, prefix: str = "model")
     return out
 
 
+def convert_mpt(sd: Mapping[str, Any], num_layers: int, prefix: str = "transformer") -> Dict[str, Any]:
+    """Convert an HF ``MptForCausalLM`` state_dict (no-bias layout)."""
+    layers = []
+    for i in range(num_layers):
+        lp = f"{prefix}.blocks.{i}"
+        layers.append(
+            {
+                "norm_1": {"scale": _t(sd[f"{lp}.norm_1.weight"])},
+                "wqkv": _dense(sd, f"{lp}.attn.Wqkv", bias=False),
+                "out_proj": _dense(sd, f"{lp}.attn.out_proj", bias=False),
+                "norm_2": {"scale": _t(sd[f"{lp}.norm_2.weight"])},
+                "up": _dense(sd, f"{lp}.ffn.up_proj", bias=False),
+                "down": _dense(sd, f"{lp}.ffn.down_proj", bias=False),
+            }
+        )
+    return {
+        "embed": {"embedding": _t(sd[f"{prefix}.wte.weight"])},
+        "layers": layers,
+        "final_norm": {"scale": _t(sd[f"{prefix}.norm_f.weight"])},
+        "lm_head": {"kernel": _t(sd["lm_head.weight"]).T.copy()},
+    }
+
+
 def convert_spi(sd: Mapping[str, Any], num_levels: int = 4, num_fuse: int = 5, prefix: str = "model.spi_module") -> Dict[str, Any]:
     """Convert the reference's ``MLVLROIQueryModule`` weights
     (gpt4roi/models/layers.py) to our SPI param tree. Conv kernels go

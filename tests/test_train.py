@@ -107,7 +107,7 @@ def test_sharded_train_step_8dev(tiny, rng):
     mesh = make_mesh(jax.devices()[:8])
     tcfg = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=10, warmup_steps=0)
     jit_step, init_state, param_sh = make_sharded_train_step(
-        cfg, tcfg, mesh, params, compute_dtype=jnp.float32
+        cfg, tcfg, mesh, params, compute_dtype=jnp.float32, fsdp_min_size=1024
     )
     state = init_state(params)
     batch = batch_dict(cfg, rng, b=8)
