@@ -20,6 +20,7 @@ import numpy as np
 
 from gpt4roi_tpu.core.registry import DATASETS
 from gpt4roi_tpu.data import transforms as T
+from gpt4roi_tpu.data.native import resize_normalize as _resize_normalize
 from gpt4roi_tpu.data.datasets.base import RegionDataset
 from gpt4roi_tpu.data.tokenization import preprocess, preprocess_multimodal
 
@@ -95,7 +96,7 @@ class DetLLava(RegionDataset):
         if img is None:
             return None
         s = self.image_size
-        image = T.normalize_clip(T.resize_image(img, (s, s)))
+        image = _resize_normalize(img, (s, s))
         boxes, det_labels = self._select_dets(entry["det"])
 
         convs = [dict(c) for c in entry["conversations"]]

@@ -15,6 +15,7 @@ import numpy as np
 
 from gpt4roi_tpu.core.registry import DATASETS
 from gpt4roi_tpu.data import transforms as T
+from gpt4roi_tpu.data.native import resize_normalize as _resize_normalize
 from gpt4roi_tpu.data.datasets.base import RegionDataset
 from gpt4roi_tpu.data.tokenization import preprocess, preprocess_multimodal
 
@@ -134,7 +135,7 @@ class VCRDataset(RegionDataset):
             return None
         h, w = img.shape[:2]
         s = self.image_size
-        image = T.normalize_clip(T.resize_image(img, (s, s)))
+        image = _resize_normalize(img, (s, s))
         boxes = np.asarray(entry["boxes"], np.float32)[:, :4] / np.array(
             [w, h, w, h], np.float32
         )
