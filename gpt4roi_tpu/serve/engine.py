@@ -68,8 +68,7 @@ class Engine:
             )
             return logits, kv
 
-        @jax.jit
-        def decode_fn(params, cache, token_ids, cache_len, temperature, key):
+        def one_step(params, cache, token_ids, cache_len, temperature, key):
             emb = params["llama"]["embed"]["embedding"][token_ids][:, None, :].astype(dtype)
             logits, cache = llama_decode_step(params["llama"], cfg_.llama, cache, emb, cache_len)
             greedy = jnp.argmax(logits, axis=-1)
@@ -78,8 +77,24 @@ class Engine:
             next_tok = jnp.where(temperature > 0.0, sampled, greedy)
             return next_tok.astype(jnp.int32), cache
 
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def decode_chunk_fn(params, cache, token_ids, cache_len, temperature, key, n_steps):
+            """Decode ``n_steps`` tokens in ONE dispatch via lax.scan —
+            per-token host round-trips dominate on RPC-tunnelled backends,
+            so stop-sequence checks happen per chunk on the host instead."""
+
+            def body(carry, step_key):
+                tok, cache, clen = carry
+                nxt, cache = one_step(params, cache, tok, clen, temperature, step_key)
+                return (nxt, cache, clen + 1), nxt
+
+            keys = jax.random.split(key, n_steps)
+            (tok, cache, clen), toks = jax.lax.scan(body, (token_ids, cache, cache_len), keys)
+            return toks.T, cache  # (B, n_steps)
+
         self._prefill = prefill_fn
-        self._decode = decode_fn
+        self._decode = jax.jit(one_step)
+        self._decode_chunk = decode_chunk_fn
 
     def generate(
         self,
@@ -92,6 +107,7 @@ class Engine:
         stop_token_ids: Sequence[int] = (),
         stop_fn=None,  # callable(List[int]) -> bool, host-side stop check
         seed: int = 0,
+        chunk_size: int = 16,
     ) -> List[List[int]]:
         b, s = input_ids.shape
         # pad the prompt to a multiple of the bucket quantum so a handful of
@@ -136,20 +152,37 @@ class Engine:
         done = np.zeros((b,), bool)
         cache_len = jnp.asarray(lengths)
         tok = jnp.asarray(next_tok)
-        for _ in range(max_new_tokens - 1):
+        remaining = max_new_tokens - 1
+
+        def check_stops() -> None:
             for i in range(b):
-                if int(tok[i]) in stop_token_ids:
+                if done[i]:
+                    continue
+                if outputs[i] and outputs[i][-1] in stop_token_ids:
                     done[i] = True
-                if stop_fn is not None and not done[i] and stop_fn(outputs[i]):
+                elif stop_fn is not None and stop_fn(outputs[i]):
                     done[i] = True
-            if done.all():
-                break
+
+        check_stops()
+        while remaining > 0 and not done.all():
+            n = min(chunk_size, remaining)
             key, sub = jax.random.split(key)
-            tok, cache = self._decode(
-                self.params, cache, tok, cache_len, jnp.float32(temperature), sub
+            toks, cache = self._decode_chunk(
+                self.params, cache, tok, cache_len, jnp.float32(temperature), sub, n
             )
-            cache_len = cache_len + 1
+            toks_np = np.asarray(toks)  # (B, n) — single host fetch per chunk
+            cache_len = cache_len + n
+            tok = toks[:, -1]
+            remaining -= n
             for i in range(b):
                 if not done[i]:
-                    outputs[i].append(int(tok[i]))
+                    outputs[i].extend(int(t) for t in toks_np[i])
+            check_stops()
+        # trim past the first stop token for each sequence
+        if stop_token_ids:
+            for i in range(b):
+                for j, t in enumerate(outputs[i]):
+                    if t in stop_token_ids:
+                        outputs[i] = outputs[i][: j + 1]
+                        break
         return outputs
