@@ -20,7 +20,7 @@ from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from gpt4roi_tpu.ops.attention import decode_attention, self_attention
+from gpt4roi_tpu.ops.attention import decode_attention, mha as _mha, self_attention
 from gpt4roi_tpu.ops.norms import rms_norm
 
 
@@ -137,6 +137,20 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     return jnp.broadcast_to(x[:, :, :, None, :], (b, s, n, n_rep, d)).reshape(b, s, n * n_rep, d)
 
 
+def _cache_write(cache_buf: jax.Array, new: jax.Array, cache_len: jax.Array) -> jax.Array:
+    """Write (B, N, D) rows into (B, S, N, D) at position(s) ``cache_len``.
+
+    Uses scatter (.at[].set). Counter-intuitively this is the FASTEST
+    variant measured on v5e inside a decode scan: dynamic_update_slice
+    (scalar or vmapped) triggers memory-space-assignment copy-start/
+    copy-done staging of the whole cache buffer every iteration (measured
+    1.4-5x slower at 7B scale); scatter updates in place. Revisit when XLA
+    MSA heuristics change."""
+    b = cache_buf.shape[0]
+    pos = jnp.broadcast_to(cache_len, (b,))
+    return cache_buf.at[jnp.arange(b), pos].set(new.astype(cache_buf.dtype))
+
+
 def llama_forward(
     params: Params,
     cfg: LlamaConfig,
@@ -200,16 +214,16 @@ def llama_decode_step(
     cfg: LlamaConfig,
     cache: KVCache,
     token_embeds: jax.Array,  # (B, 1, D)
-    cache_len: jax.Array,  # (B,) tokens already in cache (position of this token)
+    cache_len: jax.Array,  # scalar (batch-uniform, fast DUS path) or (B,)
 ) -> Tuple[jax.Array, KVCache]:
     """One autoregressive step: write k/v at ``cache_len``, attend to the
     valid prefix + self, return logits (B, vocab) and the updated cache."""
     b, _, d = token_embeds.shape
     nh, nkv, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
-    cos, sin = rope_tables(cfg, cache_len[:, None])  # (B, 1, hd)
+    pos_vec = jnp.broadcast_to(cache_len, (b,))  # (B,) for rope/masking
+    cos, sin = rope_tables(cfg, pos_vec[:, None])  # (B, 1, hd)
     x = token_embeds
     new_k, new_v = [], []
-    batch_ix = jnp.arange(b)
     for li, lp in enumerate(params["layers"]):
         y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
         q = _proj(lp["q"], y).reshape(b, 1, nh, hd)
@@ -217,19 +231,70 @@ def llama_decode_step(
         v = _proj(lp["v"], y).reshape(b, 1, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        ck = cache.k[li].at[batch_ix, cache_len].set(k[:, 0].astype(cache.k[li].dtype))
-        cv = cache.v[li].at[batch_ix, cache_len].set(v[:, 0].astype(cache.v[li].dtype))
+        ck = _cache_write(cache.k[li], k[:, 0], cache_len)
+        cv = _cache_write(cache.v[li], v[:, 0], cache_len)
         new_k.append(ck)
         new_v.append(cv)
         kr = _repeat_kv(ck, nh // nkv)
         vr = _repeat_kv(cv, nh // nkv)
-        att = decode_attention(q, kr.astype(q.dtype), vr.astype(q.dtype), cache_len + 1)
+        att = decode_attention(q, kr.astype(q.dtype), vr.astype(q.dtype), pos_vec + 1)
         x = x + _proj(lp["o"], att.reshape(b, 1, d))
         y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
         y = _proj(lp["down"], jax.nn.silu(_proj(lp["gate"], y)) * _proj(lp["up"], y))
         x = x + y
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
     logits = _proj(params["lm_head"], x)[:, 0]
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+def llama_extend(
+    params: Params,
+    cfg: LlamaConfig,
+    cache: KVCache,
+    new_embeds: jax.Array,  # (B, T, D) embeddings of the appended tokens
+    start: jax.Array,  # scalar: number of tokens already in the cache
+) -> Tuple[jax.Array, KVCache]:
+    """Incremental prefill: run ``T`` new tokens against an existing KV
+    cache (prefix-cache serving — the reference recomputes the whole
+    prefill every chat round, gpt4roi/app.py:285-300). Returns logits for
+    the new positions (B, T, V) and the extended cache."""
+    b, t, d = new_embeds.shape
+    s_max = cache.k[0].shape[1]
+    nh, nkv, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+    positions = start + jnp.arange(t)[None, :]  # (1, T) -> broadcast (B, T)
+    positions = jnp.broadcast_to(positions, (b, t))
+    cos, sin = rope_tables(cfg, positions)
+
+    # key j allowed for query t_i: j <= start + t_i (past prefix + causal block)
+    ki = jnp.arange(s_max)[None, None, :]
+    allow = ki <= (start + jnp.arange(t))[None, :, None]  # (1, T, S)
+
+    x = new_embeds
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layers"]):
+        y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
+        q = _proj(lp["q"], y).reshape(b, t, nh, hd)
+        k = _proj(lp["k"], y).reshape(b, t, nkv, hd)
+        v = _proj(lp["v"], y).reshape(b, t, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(
+            cache.k[li], k.astype(cache.k[li].dtype), (0, start, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache.v[li], v.astype(cache.v[li].dtype), (0, start, 0, 0)
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+        kr = _repeat_kv(ck.astype(q.dtype), nh // nkv)
+        vr = _repeat_kv(cv.astype(q.dtype), nh // nkv)
+        att = _mha(q, kr, vr, mask=allow[:, None], causal=False)
+        x = x + _proj(lp["o"], att.reshape(b, t, d))
+        y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
+        y = _proj(lp["down"], jax.nn.silu(_proj(lp["gate"], y)) * _proj(lp["up"], y))
+        x = x + y
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+    logits = _proj(params["lm_head"], x)
     return logits, KVCache(k=new_k, v=new_v)
 
 

@@ -35,6 +35,7 @@ class ChatSession:
         max_regions: int = 32,
         temperature: float = 0.2,
         max_new_tokens: int = 1024,
+        use_prefix_cache: bool = True,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
@@ -42,6 +43,7 @@ class ChatSession:
         self.max_regions = max_regions
         self.temperature = temperature
         self.max_new_tokens = max_new_tokens
+        self.use_prefix_cache = use_prefix_cache
         self.reset()
 
     def reset(self) -> None:
@@ -50,6 +52,8 @@ class ChatSession:
         self.boxes: List[List[float]] = []  # normalised accumulated regions
         self.named_regions: set[str] = set()
         self.first_turn = True
+        self._cached = self.engine.cached_session() if self.use_prefix_cache else None
+        self._last_boxes_key: Optional[tuple] = None
 
     def set_image(self, rgb: np.ndarray) -> None:
         """rgb: (H, W, 3) uint8."""
@@ -122,20 +126,50 @@ class ChatSession:
             text = self.decode(toks)
             return "###" in text
 
-        out = self.engine.generate(
-            ids,
-            self.image[None],
-            boxes,
-            mask,
+        if self._cached is not None:
+            out0 = self._ask_cached(ids[0], boxes, mask, stop_ids, stop_fn, seed)
+        else:
+            out0 = self.engine.generate(
+                ids,
+                self.image[None],
+                boxes,
+                mask,
+                max_new_tokens=self.max_new_tokens,
+                temperature=self.temperature,
+                stop_token_ids=tuple(t for t in stop_ids if t is not None),
+                stop_fn=stop_fn,
+                seed=seed,
+            )[0]
+        text = self.decode(out0).split("###")[0].strip()
+        self.conv.messages[-1][1] = text
+        return text
+
+    def _ask_cached(self, ids, boxes, mask, stop_ids, stop_fn, seed) -> List[int]:
+        """Multi-round generation over the persistent KV/vision cache: the
+        image is encoded once, region features re-encoded only when the box
+        set changes, and only newly appended tokens are prefilled."""
+        sess = self._cached
+        boxes_key = (boxes.tobytes(), mask.tobytes())
+        if sess.image_feats is None or boxes_key != self._last_boxes_key:
+            sess.set_vision(self.image[None], boxes, mask)
+            self._last_boxes_key = boxes_key
+        # resync: tokenisation must be append-only; roll the session back to
+        # the longest common prefix if a boundary re-tokenised
+        common = 0
+        limit = min(sess.pos, len(ids))
+        while common < limit and sess.ids[0, common] == ids[common]:
+            common += 1
+        sess.pos = common
+        sess.cached_upto = min(sess.cached_upto, common)
+        new_ids = [int(t) for t in ids[common:]]
+        return sess.append_and_generate(
+            new_ids,
             max_new_tokens=self.max_new_tokens,
             temperature=self.temperature,
             stop_token_ids=tuple(t for t in stop_ids if t is not None),
             stop_fn=stop_fn,
             seed=seed,
         )
-        text = self.decode(out[0]).split("###")[0].strip()
-        self.conv.messages[-1][1] = text
-        return text
 
     def decode(self, token_ids: List[int]) -> str:
         if hasattr(self.tokenizer, "decode"):

@@ -22,11 +22,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, build_input_embeds
+from gpt4roi_tpu.models.gpt4roi import (
+    Gpt4RoiConfig,
+    build_input_embeds,
+    encode_vision,
+    masked_scatter_embeds,
+)
 from gpt4roi_tpu.models.llama import (
     KVCache,
     init_kv_cache,
     llama_decode_step,
+    llama_extend,
     llama_forward,
     write_prefill_kv,
 )
@@ -92,9 +98,36 @@ class Engine:
             (tok, cache, clen), toks = jax.lax.scan(body, (token_ids, cache, cache_len), keys)
             return toks.T, cache  # (B, n_steps)
 
+        @jax.jit
+        def encode_vision_fn(params, images, boxes, box_mask):
+            return encode_vision(params, cfg_, images, boxes, box_mask, dtype)
+
+        @functools.partial(jax.jit, static_argnames=("frag_len",))
+        def extend_fn(params, cache, input_ids, image_feats, spi_feats, start, frag_len):
+            """Incremental prefill over ids[start:start+frag_len] with the
+            image/SPI banks spliced by full-sequence masks (prefix-cache
+            serving: vision encode + past rounds' KV are reused)."""
+            embeds = params["llama"]["embed"]["embedding"][input_ids].astype(dtype)
+            embeds = masked_scatter_embeds(
+                embeds, input_ids == cfg_.im_patch_token_id, image_feats
+            )
+            embeds = masked_scatter_embeds(
+                embeds, input_ids == cfg_.bbox_token_id, spi_feats.astype(dtype)
+            )
+            frag = jax.lax.dynamic_slice(
+                embeds, (0, start, 0), (embeds.shape[0], frag_len, embeds.shape[2])
+            )
+            logits, cache = llama_extend(params["llama"], cfg_.llama, cache, frag, start)
+            return logits, cache
+
         self._prefill = prefill_fn
         self._decode = jax.jit(one_step)
         self._decode_chunk = decode_chunk_fn
+        self._encode_vision = encode_vision_fn
+        self._extend = extend_fn
+
+    def cached_session(self) -> "CachedSession":
+        return CachedSession(self)
 
     def generate(
         self,
@@ -150,7 +183,8 @@ class Engine:
 
         outputs: List[List[int]] = [[int(t)] for t in next_tok]
         done = np.zeros((b,), bool)
-        cache_len = jnp.asarray(lengths)
+        # scalar (batch-uniform) cache position -> single-DUS cache writes
+        cache_len = jnp.int32(s)
         tok = jnp.asarray(next_tok)
         remaining = max_new_tokens - 1
 
@@ -186,3 +220,123 @@ class Engine:
                         outputs[i] = outputs[i][: j + 1]
                         break
         return outputs
+
+
+class CachedSession:
+    """Multi-round generation with a persistent KV + vision-feature cache.
+
+    The reference re-runs the full prefill (vision tower included) on every
+    chat round (gpt4roi/app.py:242-328). Here the image is encoded once,
+    past rounds' KV stays in the cache, and each round only runs an
+    incremental prefill over the newly appended tokens (bucketed to
+    ``frag_quantum`` so a handful of fragment lengths share compiled
+    programs). Batch size 1 (chat semantics).
+    """
+
+    def __init__(self, engine: Engine, frag_quantum: int = 64):
+        self.engine = engine
+        self.frag_quantum = frag_quantum
+        self.reset()
+
+    def reset(self) -> None:
+        e = self.engine.ecfg
+        self.max_len = e.max_seq_len
+        self.ids = np.zeros((1, self.max_len), np.int32)
+        self.pos = 0  # valid tokens in self.ids
+        self.cached_upto = 0  # positions whose K/V are in the cache (the
+        # last generated token of a round is NOT cached until consumed)
+        self.cache: Optional[Any] = None
+        self.image_feats = None
+        self.spi_feats = None
+
+    def set_vision(self, images: np.ndarray, boxes: np.ndarray, box_mask: np.ndarray) -> None:
+        """Encode the image + regions once; re-call only when boxes change."""
+        img_feats, spi_feats = self.engine._encode_vision(
+            self.engine.params, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(box_mask)
+        )
+        self.image_feats = img_feats
+        self.spi_feats = spi_feats
+
+    def _ensure_cache(self) -> None:
+        if self.cache is None:
+            self.cache = init_kv_cache(
+                self.engine.cfg.llama, 1, self.max_len, dtype=self.engine.ecfg.compute_dtype
+            )
+
+    def append_and_generate(
+        self,
+        new_ids: Sequence[int],
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        stop_token_ids: Sequence[int] = (),
+        stop_fn=None,
+        seed: int = 0,
+        chunk_size: int = 16,
+    ) -> List[int]:
+        assert self.image_feats is not None, "set_vision first"
+        self._ensure_cache()
+        n = len(new_ids)
+        assert self.pos + n + max_new_tokens <= self.max_len, "session overflow"
+        self.ids[0, self.pos : self.pos + n] = np.asarray(new_ids, np.int32)
+        # fragment starts at the first UNcached position (re-runs the last
+        # generated token of the previous round, whose K/V were never
+        # written by a subsequent decode step)
+        start = self.cached_upto
+        n_frag = self.pos + n - start
+        frag_len = _round_up(n_frag, self.frag_quantum)
+        frag_len = min(frag_len, self.max_len - start)
+
+        logits, self.cache = self.engine._extend(
+            self.engine.params,
+            self.cache,
+            jnp.asarray(self.ids),
+            self.image_feats,
+            self.spi_feats,
+            jnp.int32(start),
+            frag_len,
+        )
+        self.pos += n
+        self.cached_upto = self.pos
+        last_logits = np.asarray(logits)[0, n_frag - 1]
+        key = jax.random.PRNGKey(seed)
+        if temperature > 0:
+            key, sub = jax.random.split(key)
+            nxt = int(
+                np.asarray(jax.random.categorical(sub, jnp.asarray(last_logits) / temperature))
+            )
+        else:
+            nxt = int(last_logits.argmax())
+
+        out = [nxt]
+        self.ids[0, self.pos] = nxt
+        tok = jnp.asarray([nxt], jnp.int32)
+        cache_len = jnp.int32(self.pos)
+        self.pos += 1
+        remaining = max_new_tokens - 1
+
+        def stopped() -> bool:
+            if out and out[-1] in stop_token_ids:
+                return True
+            return stop_fn is not None and stop_fn(out)
+
+        while remaining > 0 and not stopped():
+            k = min(chunk_size, remaining)
+            key, sub = jax.random.split(key)
+            toks, self.cache = self.engine._decode_chunk(
+                self.engine.params, self.cache, tok, cache_len, jnp.float32(temperature), sub, k
+            )
+            toks_np = np.asarray(toks)[0]
+            for t in toks_np:
+                self.ids[0, self.pos] = int(t)
+                self.pos += 1
+                out.append(int(t))
+            cache_len = cache_len + k
+            self.cached_upto = int(cache_len)
+            tok = toks[:, -1]
+            remaining -= k
+        if stop_token_ids:
+            for j, t in enumerate(out):
+                if t in stop_token_ids:
+                    out = out[: j + 1]
+                    break
+        return out

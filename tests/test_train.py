@@ -109,7 +109,9 @@ def test_sharded_train_step_8dev(tiny, rng):
     jit_step, init_state, param_sh = make_sharded_train_step(
         cfg, tcfg, mesh, params, compute_dtype=jnp.float32, fsdp_min_size=1024
     )
-    state = init_state(params)
+    # pass host copies: device_put may alias the fixture's on-device arrays
+    # and the donated jit_step would delete them for later tests
+    state = init_state(jax.tree_util.tree_map(np.asarray, params))
     batch = batch_dict(cfg, rng, b=8)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
