@@ -207,6 +207,57 @@ def gpt4roi_forward(
     return out
 
 
+def gpt4roi_forward_packed(
+    params: Params,
+    cfg: Gpt4RoiConfig,
+    batch: Dict[str, jax.Array],
+    compute_dtype=jnp.float32,
+    use_flash: Optional[bool] = None,
+    remat: bool = False,
+):
+    """Packed-sequence training forward (see data.packing): multiple samples
+    per row, segment-masked attention, per-segment positions, and splice via
+    host-precomputed flat bank indices. Loss never crosses segment
+    boundaries. The reference has no packing — every row is one padded
+    conversation — so this is a pure throughput win over its trainer."""
+    ids = batch["input_ids"]
+    seg = batch["segment_ids"]
+    image_feats, spi_feats = encode_vision(
+        params, cfg, batch["images"], batch["boxes"], batch["box_mask"], compute_dtype
+    )
+    d = image_feats.shape[-1]
+    flat_img = image_feats.reshape(-1, d)
+    flat_spi = spi_feats.reshape(-1, d).astype(compute_dtype)
+    embeds = decoder_params(params, cfg)["embed"]["embedding"][ids].astype(compute_dtype)
+    patch_mask = ids == cfg.im_patch_token_id
+    embeds = jnp.where(
+        patch_mask[..., None], flat_img[batch["patch_bank_idx"]].astype(compute_dtype), embeds
+    )
+    bbox_mask = ids == cfg.bbox_token_id
+    embeds = jnp.where(bbox_mask[..., None], flat_spi[batch["bbox_bank_idx"]], embeds)
+
+    logits, hidden, _ = llama_forward(
+        params["llama"],
+        cfg.llama,
+        inputs_embeds=embeds,
+        positions=batch["positions"],
+        segment_ids=seg,
+        use_flash=use_flash,
+        remat=remat,
+    )
+    labels = batch["labels"]
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    same_seg = (seg[:, 1:] == seg[:, :-1]) & (seg[:, 1:] > 0)
+    valid = (shift_labels != IGNORE_INDEX) & same_seg
+    safe = jnp.where(valid, shift_labels, 0)
+    logz = jax.nn.logsumexp(shift_logits, axis=-1)
+    picked = jnp.take_along_axis(shift_logits, safe[..., None], axis=-1)[..., 0]
+    nll = (logz - picked) * valid.astype(jnp.float32)
+    loss = nll.sum() / jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+    return {"logits": logits, "hidden": hidden, "loss": loss}
+
+
 def shifted_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean CE over next-token targets, ignoring IGNORE_INDEX
     (llava/model/llava.py:238-249 semantics)."""

@@ -158,6 +158,7 @@ def llama_forward(
     inputs_embeds: Optional[jax.Array] = None,  # (B, S, D)
     attention_mask: Optional[jax.Array] = None,  # (B, S) 1 = valid
     positions: Optional[jax.Array] = None,  # (B, S)
+    segment_ids: Optional[jax.Array] = None,  # (B, S) int; packed sequences
     return_kv: bool = False,
     use_flash: Optional[bool] = None,
     remat: bool = False,
@@ -165,17 +166,20 @@ def llama_forward(
     """Full (prefill/training) forward. Returns (logits, final_hidden, kv).
 
     ``remat=True`` rematerialises each decoder layer in the backward pass
-    (the reference's --gradient_checkpointing; train_stage1.sh:33)."""
+    (the reference's --gradient_checkpointing; train_stage1.sh:33).
+    ``segment_ids`` enables packed-sequence training: attention stays
+    within segments and ``positions`` should restart per segment."""
     if inputs_embeds is None:
         assert input_ids is not None
         inputs_embeds = params["embed"]["embedding"][input_ids]
     b, s, d = inputs_embeds.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-    if attention_mask is None:
-        segment_ids = jnp.ones((b, s), jnp.int32)
-    else:
-        segment_ids = attention_mask.astype(jnp.int32)
+    if segment_ids is None:
+        if attention_mask is None:
+            segment_ids = jnp.ones((b, s), jnp.int32)
+        else:
+            segment_ids = attention_mask.astype(jnp.int32)
 
     cos, sin = rope_tables(cfg, positions)
     nh, nkv, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
