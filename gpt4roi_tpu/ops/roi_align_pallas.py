@@ -186,6 +186,100 @@ def roi_align_batched_pallas(
     )
 
 
+def _bwd_kernel(ytap_ref, xtap_ref, ywt_ref, xwt_ref, dout_ref, dfeat_ref, tmp_ref, *, oh, ow, ntap, n_rois):
+    """Backward: dfeat = sum_r Ay_r^T dOut_r Ax_r, evaluated tap-wise.
+
+    Grid (B, C_blocks, R) with rois innermost: the dfeat output block index
+    depends only on (b, c), so Pallas keeps it resident in VMEM across all
+    R rois and writes back to HBM once — a deterministic, atomics-free
+    scatter-accumulate (the CUDA reference needs atomicAdd here).
+    """
+    ri = pl.program_id(2)
+
+    @pl.when(ri == 0)
+    def _init():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
+
+    dout = dout_ref[0, 0].astype(jnp.float32)  # (OH, OW, CB)
+    # x-transpose: tmp[w] accumulates columns of dout through the x taps
+    tmp_ref[...] = jnp.zeros_like(tmp_ref)
+    for j in range(ow):
+        col = dout[:, j, :][:, None, :]  # (OH, 1, CB)
+        for t in range(ntap):
+            idx = xtap_ref[0, j, t]
+            wt = xwt_ref[0, j, t]
+            cur = tmp_ref[:, pl.ds(idx, 1), :]
+            tmp_ref[:, pl.ds(idx, 1), :] = cur + col * wt
+    # y-transpose: scatter pooled rows into feature rows through the y taps
+    for i in range(oh):
+        row = tmp_ref[pl.ds(i, 1)]  # (1, W, CB)
+        for t in range(ntap):
+            idx = ytap_ref[0, i, t]
+            wt = ywt_ref[0, i, t]
+            cur = dfeat_ref[0, pl.ds(idx, 1), :, :]
+            dfeat_ref[0, pl.ds(idx, 1), :, :] = cur + (row * wt).astype(dfeat_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("in_hw", "output_size", "spatial_scale", "sampling_ratio", "aligned"),
+)
+def _roi_align_pallas_bwd(
+    boxes: jax.Array,
+    box_mask: jax.Array,
+    g: jax.Array,  # (B, R, oh, ow, C) cotangent
+    in_hw: Tuple[int, int] = (16, 16),
+    output_size: int = 14,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+):
+    b, r, oh, ow, c = g.shape
+    h, w = in_hw
+    sg = sampling_ratio
+    ntap = 2 * sg
+
+    flat = boxes.reshape(b * r, 4).astype(jnp.float32)
+    offset = 0.5 if aligned else 0.0
+    x1 = flat[:, 0] * spatial_scale - offset
+    y1 = flat[:, 1] * spatial_scale - offset
+    bw = flat[:, 2] * spatial_scale - offset - x1
+    bh = flat[:, 3] * spatial_scale - offset - y1
+    if not aligned:
+        bw = jnp.maximum(bw, 1.0)
+        bh = jnp.maximum(bh, 1.0)
+    ytap, ywt = _axis_taps(y1, bh, oh, sg, h)
+    xtap, xwt = _axis_taps(x1, bw, ow, sg, w)
+    mask = box_mask.reshape(b * r, 1, 1).astype(jnp.float32)
+    ywt = ywt * mask
+    xwt = xwt * mask
+
+    cb = _pick_cblock(c, h, w, oh, 4)
+    grid = (b, c // cb, r)
+    kernel = functools.partial(_bwd_kernel, oh=oh, ow=ow, ntap=ntap, n_rois=r)
+    dfeat = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, oh, ntap), lambda bi, ci, ri: (bi * r + ri, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ow, ntap), lambda bi, ci, ri: (bi * r + ri, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, oh, ntap), lambda bi, ci, ri: (bi * r + ri, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ow, ntap), lambda bi, ci, ri: (bi * r + ri, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, oh, ow, cb), lambda bi, ci, ri: (bi, ri, 0, 0, ci)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cb), lambda bi, ci, ri: (bi, 0, 0, ci)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((oh, w, cb), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (oh * ow * ntap * c + oh * ntap * w * c),
+            bytes_accessed=b * h * w * c * 4 + b * r * oh * ow * c * 4,
+            transcendentals=0,
+        ),
+    )(ytap, xtap, ywt, xwt, g.astype(jnp.float32))
+    return dfeat
+
+
 def _fwd(feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio, aligned):
     out = _roi_align_pallas_fwd(
         feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio, aligned
@@ -195,19 +289,16 @@ def _fwd(feats, boxes, box_mask, output_size, spatial_scale, sampling_ratio, ali
 
 def _bwd(output_size, spatial_scale, sampling_ratio, aligned, res, g):
     feats, boxes, box_mask = res
-    b, h, w, c = feats.shape
-    osz = (output_size, output_size) if isinstance(output_size, int) else output_size
-
-    def one(bxs, msk, dout):
-        ay, ax = roi_align_matrices(bxs, (h, w), osz, spatial_scale, sampling_ratio, aligned)
-        m = msk[:, None, None].astype(jnp.float32)
-        # dfeat = sum_r Ay_r^T dOut_r Ax_r — deterministic, no atomics
-        return jnp.einsum(
-            "rih,rijc,rjw->hwc", ay * m, dout.astype(jnp.float32), ax,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    dfeats = jax.vmap(one)(boxes.astype(jnp.float32), box_mask, g).astype(feats.dtype)
+    dfeats = _roi_align_pallas_bwd(
+        boxes,
+        box_mask,
+        g,
+        (feats.shape[1], feats.shape[2]),
+        output_size,
+        spatial_scale,
+        sampling_ratio,
+        aligned,
+    ).astype(feats.dtype)
     return dfeats, jnp.zeros_like(boxes), None
 
 
