@@ -37,6 +37,9 @@ class PackSpec:
     bbox_token_id: int = -1
     num_image_tokens: int = 256
     max_images: int = 64  # total images across the packed batch
+    rows: int = 0  # fixed row count for static shapes; 0 = as many as packed
+    # (bins beyond ``rows`` are dropped — they reappear next epoch under a
+    # different shuffle; all-padding rows contribute zero loss)
 
 
 def first_fit_pack(lengths: Sequence[int], capacity: int) -> List[List[int]]:
@@ -68,7 +71,11 @@ def collate_packed(samples: List[Dict[str, Any]], spec: PackSpec) -> Dict[str, n
     assert spec.im_patch_token_id >= 0 and spec.bbox_token_id >= 0
     lengths = [len(s["input_ids"]) for s in samples]
     bins = first_fit_pack(lengths, spec.seq_len)
-    b = len(bins)
+    if spec.rows > 0:
+        bins = bins[: spec.rows]
+        b = spec.rows
+    else:
+        b = len(bins)
     ni = len(samples)
     assert ni <= spec.max_images, (ni, spec.max_images)
 

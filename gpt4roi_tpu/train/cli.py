@@ -44,6 +44,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--tiny_model", action="store_true", help="debug: tiny config")
     p.add_argument("--max_steps", type=int, default=0, help="debug: stop early")
+    p.add_argument(
+        "--packing",
+        action="store_true",
+        help="pack multiple samples per row (segment-masked attention); "
+        "per_device_batch_size then counts RAW samples per device",
+    )
     return p.parse_args(argv)
 
 
@@ -123,13 +129,33 @@ def main(argv=None) -> None:
         args.dataset_config, tokenizer, seed=args.seed,
         patch_size=cfg.clip.patch_size, image_size=cfg.clip.image_size,
     )
-    spec = BatchSpec(
-        seq_len=args.model_max_length,
-        max_regions=args.max_regions,
-        image_size=cfg.clip.image_size,
-        pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
-    )
-    loader = BatchLoader(dataset, global_batch, spec, seed=args.seed)
+    pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+    if args.packing:
+        from gpt4roi_tpu.data.module import PackedBatchLoader
+        from gpt4roi_tpu.data.packing import PackSpec
+
+        # raw samples per batch; rows sized for a ~60% fill worst case
+        rows = max(n_dev, (global_batch + 1) // 2)
+        pspec = PackSpec(
+            seq_len=args.model_max_length,
+            max_regions=args.max_regions,
+            image_size=cfg.clip.image_size,
+            pad_token_id=pad_id,
+            im_patch_token_id=cfg.im_patch_token_id,
+            bbox_token_id=cfg.bbox_token_id,
+            num_image_tokens=cfg.num_image_tokens,
+            max_images=((global_batch + n_dev - 1) // n_dev) * n_dev,
+            rows=((rows + n_dev - 1) // n_dev) * n_dev,
+        )
+        loader = PackedBatchLoader(dataset, global_batch, pspec, seed=args.seed)
+    else:
+        spec = BatchSpec(
+            seq_len=args.model_max_length,
+            max_regions=args.max_regions,
+            image_size=cfg.clip.image_size,
+            pad_token_id=pad_id,
+        )
+        loader = BatchLoader(dataset, global_batch, spec, seed=args.seed)
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * args.num_epochs
     if args.max_steps:
@@ -143,7 +169,9 @@ def main(argv=None) -> None:
         total_steps=total_steps,
     )
     compute_dtype = jnp.bfloat16 if args.bf16 and jax.default_backend() == "tpu" else jnp.float32
-    jit_step, init_state, _ = make_sharded_train_step(cfg, tcfg, mesh, params, compute_dtype)
+    jit_step, init_state, _ = make_sharded_train_step(
+        cfg, tcfg, mesh, params, compute_dtype, packed=args.packing
+    )
     state = init_state(params)
     del params
 
@@ -166,7 +194,9 @@ def main(argv=None) -> None:
             if step >= total_steps:
                 done = True
                 break
-            batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
+            batch = {
+                k: jax.device_put(v, batch_sh) for k, v in batch.items() if k != "num_images"
+            }
             state, metrics = jit_step(state, batch)
             step += 1
             if step % args.logging_steps == 0:

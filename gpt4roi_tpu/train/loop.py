@@ -18,7 +18,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpt4roi_tpu.core.mesh import DATA_AXIS, tree_fsdp_shardings
-from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, gpt4roi_forward
+from gpt4roi_tpu.models.gpt4roi import (
+    Gpt4RoiConfig,
+    gpt4roi_forward,
+    gpt4roi_forward_packed,
+)
 from gpt4roi_tpu.train.state import TrainConfig, TrainState, make_optimizer
 
 
@@ -40,18 +44,28 @@ def loss_fn(
     return out["loss"]
 
 
+def packed_loss_fn(
+    params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dtype, remat: bool = True
+) -> jax.Array:
+    out = gpt4roi_forward_packed(params, cfg, batch, compute_dtype=compute_dtype, remat=remat)
+    return out["loss"]
+
+
 def make_train_step(
     cfg: Gpt4RoiConfig,
     tcfg: TrainConfig,
     tx: optax.GradientTransformation,
     compute_dtype=jnp.bfloat16,
+    packed: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
+    loss = packed_loss_fn if packed else loss_fn
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch, compute_dtype)
+        loss_val, grads = jax.value_and_grad(loss)(state.params, cfg, batch, compute_dtype)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
-        metrics = {"loss": loss, "grad_norm": gnorm}
+        metrics = {"loss": loss_val, "grad_norm": gnorm}
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return train_step
@@ -68,13 +82,15 @@ def make_sharded_train_step(
     params: Any,
     compute_dtype=jnp.bfloat16,
     fsdp_min_size: int = 2**16,
+    packed: bool = False,
 ):
     """Build (jitted_step, init_fn, param_shardings). ``init_fn`` places an
     existing host param tree onto the mesh with FSDP shardings and creates
     the optimizer state with matching layouts. Params smaller than
-    ``fsdp_min_size`` elements stay replicated."""
+    ``fsdp_min_size`` elements stay replicated. ``packed=True`` expects
+    packed batches (data.packing; image count must divide the data axis)."""
     tx = make_optimizer(tcfg, params)
-    step = make_train_step(cfg, tcfg, tx, compute_dtype)
+    step = make_train_step(cfg, tcfg, tx, compute_dtype, packed=packed)
 
     param_sh = tree_fsdp_shardings(params, mesh, fsdp_min_size)
     repl = NamedSharding(mesh, P())
