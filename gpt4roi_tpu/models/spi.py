@@ -140,14 +140,16 @@ def init_spi_params(key: jax.Array, cfg: SpiConfig, dtype=jnp.float32) -> Params
 
 
 def _conv(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME") -> jax.Array:
+    # no preferred_element_type here: mixing it with bf16 operands breaks
+    # the conv transpose (AD) dtype check; XLA TPU already accumulates
+    # bf16 convs in fp32 internally
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -177,7 +179,8 @@ def mlvl_fuse(params: Params, feats: List[jax.Array], cfg: SpiConfig) -> List[ja
 
     n = cfg.num_levels
     rc, sc = cfg.remain_channels, cfg.shuffle_channels
-    for fuse_p in params["fuse_convs"]:
+
+    def one_round(levels, fuse_p):
         new_levels = []
         for lvl in range(n):
             top = min(lvl + 1, n - 1)
@@ -191,7 +194,13 @@ def mlvl_fuse(params: Params, feats: List[jax.Array], cfg: SpiConfig) -> List[ja
             y = _conv(fuse_p["conv"], fused)
             y = group_norm(y, fuse_p["gn"]["scale"], fuse_p["gn"]["bias"], cfg.gn_groups)
             new_levels.append(jax.nn.relu(y))
-        levels = new_levels
+        return new_levels
+
+    # remat per shuffle round: the fuse pyramid's activations dominate SPI
+    # training memory (5 rounds x 4 levels of up-to-128^2x1024 maps)
+    one_round = jax.checkpoint(one_round)
+    for fuse_p in params["fuse_convs"]:
+        levels = one_round(levels, fuse_p)
     return levels
 
 

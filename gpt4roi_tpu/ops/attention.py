@@ -122,9 +122,11 @@ def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("causal", "block_q", "block_k")
-)
+def _segment_mask(segment_ids: jax.Array) -> jax.Array:
+    return segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(
     q: jax.Array,  # (B, Sq, N, D)
     k: jax.Array,
@@ -134,7 +136,47 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
 ) -> jax.Array:
-    """Pallas blockwise (flash) attention for TPU; self-attention Sq == Sk."""
+    """Pallas blockwise (flash) attention for TPU; self-attention Sq == Sk.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    currently recomputes attention through the XLA formulation and takes
+    its VJP (identical math; memory O(S^2) per layer during backward — a
+    dedicated Pallas backward kernel is planned)."""
+    return _flash_attention_impl(q, k, v, segment_ids, causal, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, segment_ids, causal, block_q, block_k):
+    out = _flash_attention_impl(q, k, v, segment_ids, causal, block_q, block_k)
+    return out, (q, k, v, segment_ids)
+
+
+def _flash_bwd(causal, block_q, block_k, res, g):
+    q, k, v, segment_ids = res
+
+    def ref(q, k, v):
+        mask = _segment_mask(segment_ids) if segment_ids is not None else None
+        return mha(q, k, v, mask=mask, causal=causal)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k")
+)
+def _flash_attention_impl(
+    q: jax.Array,  # (B, Sq, N, D)
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,  # (B, S) int; 0 may be padding
+    causal: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -26,9 +26,26 @@ from gpt4roi_tpu.models.gpt4roi import (
 from gpt4roi_tpu.train.state import TrainConfig, TrainState, make_optimizer
 
 
+def freeze_for_stage(params, stage: str):
+    """stop_gradient frozen subtrees so XLA never materialises their grads
+    (the optimizer's set_to_zero partition would discard them anyway, but
+    at 7B scale the zero cotangent tree alone is GBs)."""
+    from gpt4roi_tpu.train.state import param_labels
+
+    labels = param_labels(params, stage)
+
+    def one(p, lab):
+        return jax.lax.stop_gradient(p) if lab == "frozen" else p
+
+    return jax.tree_util.tree_map(one, params, labels)
+
+
 def loss_fn(
-    params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dtype, remat: bool = True
+    params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dtype, remat: bool = True,
+    stage: str = "all",
 ) -> jax.Array:
+    if stage != "all":
+        params = freeze_for_stage(params, stage)
     out = gpt4roi_forward(
         params,
         cfg,
@@ -45,8 +62,11 @@ def loss_fn(
 
 
 def packed_loss_fn(
-    params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dtype, remat: bool = True
+    params, cfg: Gpt4RoiConfig, batch: Dict[str, jax.Array], compute_dtype, remat: bool = True,
+    stage: str = "all",
 ) -> jax.Array:
+    if stage != "all":
+        params = freeze_for_stage(params, stage)
     out = gpt4roi_forward_packed(params, cfg, batch, compute_dtype=compute_dtype, remat=remat)
     return out["loss"]
 
@@ -59,6 +79,7 @@ def make_train_step(
     packed: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     loss = packed_loss_fn if packed else loss_fn
+    loss = functools.partial(loss, stage=tcfg.stage)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         loss_val, grads = jax.value_and_grad(loss)(state.params, cfg, batch, compute_dtype)
