@@ -66,9 +66,10 @@ def mha(
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, block_k, causal, scale):
+def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, block_k, causal, scale):
     """Grid: (B*N, num_q_blocks, num_k_blocks); k innermost so the fp32
-    accumulator in VMEM scratch carries across k blocks."""
+    accumulator in VMEM scratch carries across k blocks. Also emits the
+    per-row log-sum-exp used by the backward kernels."""
     import jax.experimental.pallas as pl
 
     kb = pl.program_id(2)
@@ -118,8 +119,10 @@ def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref
     @pl.when(kb == pl.num_programs(2) - 1)
     def _finish():
         l = l_ref[:]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lsafe = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / lsafe).astype(o_ref.dtype)
+        # fully-masked rows get lse = 0 so exp(-inf - 0) = 0 in the backward
+        lse_ref[0] = jnp.where(l <= 0.0, 0.0, m_ref[:] + jnp.log(lsafe))
 
 
 def _segment_mask(segment_ids: jax.Array) -> jax.Array:
@@ -138,27 +141,24 @@ def flash_attention(
 ) -> jax.Array:
     """Pallas blockwise (flash) attention for TPU; self-attention Sq == Sk.
 
-    Differentiable: the forward runs the Pallas kernel; the backward
-    currently recomputes attention through the XLA formulation and takes
-    its VJP (identical math; memory O(S^2) per layer during backward — a
-    dedicated Pallas backward kernel is planned)."""
-    return _flash_attention_impl(q, k, v, segment_ids, causal, block_q, block_k)
+    Fully Pallas differentiable: the forward kernel saves per-row
+    log-sum-exp; the backward runs two blockwise kernels (dq pass and
+    dk/dv pass) with O(S) memory — no S x S materialisation (the reference
+    relies on the flash-attn CUDA package for the same property)."""
+    out, _ = _flash_attention_impl(q, k, v, segment_ids, causal, block_q, block_k)
+    return out
 
 
 def _flash_fwd(q, k, v, segment_ids, causal, block_q, block_k):
-    out = _flash_attention_impl(q, k, v, segment_ids, causal, block_q, block_k)
-    return out, (q, k, v, segment_ids)
+    out, lse = _flash_attention_impl(q, k, v, segment_ids, causal, block_q, block_k)
+    return out, (q, k, v, segment_ids, out, lse)
 
 
 def _flash_bwd(causal, block_q, block_k, res, g):
-    q, k, v, segment_ids = res
-
-    def ref(q, k, v):
-        mask = _segment_mask(segment_ids) if segment_ids is not None else None
-        return mha(q, k, v, mask=mask, causal=causal)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, segment_ids, out, lse = res
+    dq, dk, dv = _flash_attention_bwd_impl(
+        q, k, v, segment_ids, out, lse, g, causal, block_q, block_k
+    )
     return dq, dk, dv, None
 
 
@@ -199,7 +199,7 @@ def _flash_attention_impl(
 
     grid = (b * n, s // block_q, s // block_k)
     kernel = functools.partial(_flash_kernel, block_k=block_k, causal=causal, scale=scale)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -209,15 +209,198 @@ def _flash_attention_impl(
             pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * n, s, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0)),  # lse
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * n, s, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(seg_q, seg_k, qf, kf, vf)
-    return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, n, s, d).transpose(0, 2, 1, 3), lse
+
+
+def _flash_dq_kernel(
+    seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+    dq_ref, dq_acc, *, block_k, causal, scale
+):
+    """Grid (B*N, Sq/bq, Sk/bk), k innermost; dq accumulates in scratch."""
+    import jax.experimental.pallas as pl
+
+    kb = pl.program_id(2)
+    qb = pl.program_id(1)
+    block_q = q_ref.shape[1]
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    should_run = True
+    if causal:
+        should_run = kb * block_k <= (qb + 1) * block_q - 1
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        qi = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kj = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if causal:
+            s = jnp.where(kj <= qi, s, _NEG_INF)
+        s = jnp.where(seg_q_ref[0] == seg_k_ref[0], s, _NEG_INF)
+        p = jnp.exp(s - lse_ref[0])  # (bq, bk)
+        do = do_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dp - dsum_ref[0]) * scale
+        dq_acc[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    seg_k_ref, seg_q_ref, k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc, *, block_q, causal, scale
+):
+    """Grid (B*N, Sk/bk, Sq/bq), q innermost; dk/dv accumulate in scratch."""
+    import jax.experimental.pallas as pl
+
+    qb = pl.program_id(2)
+    kb = pl.program_id(1)
+    block_k = k_ref.shape[1]
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    should_run = True
+    if causal:
+        # q blocks entirely before this k block contribute nothing
+        should_run = (qb + 1) * block_q - 1 >= kb * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+        qi = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kj = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if causal:
+            s = jnp.where(kj <= qi, s, _NEG_INF)
+        s = jnp.where(seg_q_ref[0] == seg_k_ref[0], s, _NEG_INF)
+        p = jnp.exp(s - lse_ref[0])  # (bq, bk); lse sublane-oriented (bq, 1)
+        do = do_ref[0].astype(jnp.float32)  # (bq, d)
+        # dv += p^T do
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dp - dsum_ref[0]) * scale
+        # dk += ds^T q
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qb == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def _flash_attention_bwd_impl(
+    q, k, v, segment_ids, out, lse, g, causal=True, block_q=256, block_k=256
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, n, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    if segment_ids is None:
+        segment_ids = jnp.zeros((b, s), jnp.int32)
+    scale = 1.0 / math.sqrt(d)
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * n, s, d)
+
+    qf, kf, vf, dof, of = fold(q), fold(k), fold(v), fold(g), fold(out)
+    seg = jnp.repeat(segment_ids.astype(jnp.int32), n, axis=0)
+    seg_q = seg[:, :, None]
+    seg_k = seg[:, None, :]
+    # D_i = rowsum(dO * O), fp32
+    dsum = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, block_k=block_k, causal=causal, scale=scale),
+        grid=(b * n, s // block_q, s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda h, i, j: (h, 0, j)),
+            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(seg_q, seg_k, qf, kf, vf, dof, lse, dsum)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, block_q=block_q, causal=causal, scale=scale),
+        grid=(b * n, s // block_k, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda h, j, i: (h, 0, j)),  # seg_k
+            pl.BlockSpec((1, block_q, 1), lambda h, j, i: (h, i, 0)),  # seg_q
+            pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, j, i: (h, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * n, s, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(seg_k, seg_q, kf, vf, qf, dof, lse, dsum)
+
+    def unfold(x):
+        return x.reshape(b, n, s, d).transpose(0, 2, 1, 3)
+
+    return unfold(dq), unfold(dk), unfold(dv)
 
 
 def self_attention(
