@@ -75,3 +75,33 @@ def tree_fsdp_shardings(params, mesh: Mesh, min_size: int = 2**16):
         return NamedSharding(mesh, fsdp_param_spec(name, leaf.shape, mesh, min_size))
 
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+# Megatron-style tensor-parallel layout for the LLaMA/MPT decoder matrices
+# (the reference has NO tensor parallelism — SURVEY.md §2.5; this is a
+# beyond-reference capability for serving latency / >1-chip model scale):
+# column-parallel (shard output dim): q/k/v/gate/up/wqkv; row-parallel
+# (shard input dim): o/down/out_proj. XLA SPMD inserts the all-reduces.
+_TP_COL = ("/q/", "/k/", "/v/", "/gate/", "/up/", "/wqkv/")
+_TP_ROW = ("/o/", "/down/", "/out_proj/")
+
+
+def tp_param_spec(name: str, shape, mesh: Mesh, min_size: int = 2**16) -> P:
+    nmodel = mesh.shape.get(MODEL_AXIS, 1)
+    name = "/" + name + "/"
+    if nmodel > 1 and len(shape) == 2:
+        if any(t in name for t in _TP_COL) and shape[1] % nmodel == 0:
+            return P(None, MODEL_AXIS)
+        if any(t in name for t in _TP_ROW) and shape[0] % nmodel == 0:
+            return P(MODEL_AXIS, None)
+    return fsdp_param_spec(name, shape, mesh, min_size)
+
+
+def tree_tp_shardings(params, mesh: Mesh, min_size: int = 2**16):
+    """FSDP(data) x TP(model) shardings for a decoder param tree."""
+
+    def one(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        return NamedSharding(mesh, tp_param_spec(name, leaf.shape, mesh, min_size))
+
+    return jax.tree_util.tree_map_with_path(one, params)
