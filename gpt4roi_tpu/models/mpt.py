@@ -174,6 +174,7 @@ def mpt_decode_step(
     s_max = cache.k[0].shape[1]
     slopes = alibi_slopes(nh, cfg.alibi_bias_max)
     batch_ix = jnp.arange(b)
+    pos_vec = jnp.broadcast_to(cache_len, (b,))  # scalar or (B,) accepted
 
     x = token_embeds
     new_k, new_v = [], []
@@ -184,8 +185,8 @@ def mpt_decode_step(
         q = q.reshape(b, 1, nh, hd)
         k = k.reshape(b, nh, hd)
         v = v.reshape(b, nh, hd)
-        ck = cache.k[li].at[batch_ix, cache_len].set(k.astype(cache.k[li].dtype))
-        cv = cache.v[li].at[batch_ix, cache_len].set(v.astype(cache.v[li].dtype))
+        ck = cache.k[li].at[batch_ix, pos_vec].set(k.astype(cache.k[li].dtype))
+        cv = cache.v[li].at[batch_ix, pos_vec].set(v.astype(cache.v[li].dtype))
         new_k.append(ck)
         new_v.append(cv)
         logits = jnp.einsum(
@@ -194,10 +195,10 @@ def mpt_decode_step(
         kpos = jnp.arange(s_max, dtype=jnp.float32)
         # relative alibi: slope * (j - q_pos); softmax-equivalent to HF form
         bias = slopes[None, :, None, None] * (
-            kpos[None, None, None, :] - cache_len[:, None, None, None].astype(jnp.float32)
+            kpos[None, None, None, :] - pos_vec[:, None, None, None].astype(jnp.float32)
         )
         logits = logits + bias
-        valid = jnp.arange(s_max)[None, :] <= cache_len[:, None]
+        valid = jnp.arange(s_max)[None, :] <= pos_vec[:, None]
         logits = jnp.where(valid[:, None, None, :], logits, _NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1).astype(cv.dtype)
         att = jnp.einsum("bnqk,bknd->bqnd", probs, cv).reshape(b, 1, d).astype(x.dtype)

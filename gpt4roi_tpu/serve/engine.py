@@ -59,24 +59,39 @@ class Engine:
 
         cfg_ = self.cfg
         dtype = self.ecfg.compute_dtype
+        is_mpt = cfg_.decoder_type == "mpt"
+        dec_key = "mpt" if is_mpt else "llama"
 
         @functools.partial(jax.jit, static_argnames=("prefill_len",))
         def prefill_fn(params, input_ids, attention_mask, images, boxes, box_mask, prefill_len):
             embeds = build_input_embeds(
                 params, cfg_, input_ids, images, boxes, box_mask, dtype
             )
-            logits, _, kv = llama_forward(
-                params["llama"],
-                cfg_.llama,
-                inputs_embeds=embeds,
-                attention_mask=attention_mask,
-                return_kv=True,
-            )
+            if is_mpt:
+                from gpt4roi_tpu.models.mpt import mpt_forward
+
+                logits, _, kv = mpt_forward(
+                    params["mpt"], cfg_.mpt, inputs_embeds=embeds,
+                    attention_mask=attention_mask, return_kv=True,
+                )
+            else:
+                logits, _, kv = llama_forward(
+                    params["llama"],
+                    cfg_.llama,
+                    inputs_embeds=embeds,
+                    attention_mask=attention_mask,
+                    return_kv=True,
+                )
             return logits, kv
 
         def one_step(params, cache, token_ids, cache_len, temperature, key):
-            emb = params["llama"]["embed"]["embedding"][token_ids][:, None, :].astype(dtype)
-            logits, cache = llama_decode_step(params["llama"], cfg_.llama, cache, emb, cache_len)
+            emb = params[dec_key]["embed"]["embedding"][token_ids][:, None, :].astype(dtype)
+            if is_mpt:
+                from gpt4roi_tpu.models.mpt import mpt_decode_step
+
+                logits, cache = mpt_decode_step(params["mpt"], cfg_.mpt, cache, emb, cache_len)
+            else:
+                logits, cache = llama_decode_step(params["llama"], cfg_.llama, cache, emb, cache_len)
             greedy = jnp.argmax(logits, axis=-1)
             scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
             sampled = jax.random.categorical(key, scaled, axis=-1)
@@ -126,7 +141,21 @@ class Engine:
         self._encode_vision = encode_vision_fn
         self._extend = extend_fn
 
+    def kv_config(self):
+        """Shape config for init_kv_cache, covering both decoder types."""
+        if self.cfg.decoder_type == "mpt":
+            mpt = self.cfg.mpt
+
+            class _KV:
+                num_layers = mpt.n_layers
+                kv_heads = mpt.n_heads
+                head_dim = mpt.head_dim
+
+            return _KV
+        return self.cfg.llama
+
     def cached_session(self) -> "CachedSession":
+        assert self.cfg.decoder_type == "llama", "prefix-cache sessions are LLaMA-only for now"
         return CachedSession(self)
 
     def generate(
@@ -166,7 +195,7 @@ class Engine:
             jnp.asarray(box_mask),
             bucket,
         )
-        cache = init_kv_cache(self.cfg.llama, b, total, dtype=self.ecfg.compute_dtype)
+        cache = init_kv_cache(self.kv_config(), b, total, dtype=self.ecfg.compute_dtype)
         cache = write_prefill_kv(cache, kv)
 
         # next token from the last valid prompt position
