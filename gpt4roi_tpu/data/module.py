@@ -71,7 +71,15 @@ class PackedBatchLoader:
     into rows, and yields the packed tensors + bank indices. Throughput
     scales with 1/(mean fill ratio) vs the padded loader."""
 
-    def __init__(self, dataset, samples_per_batch: int, spec, seed: int = 0):
+    def __init__(
+        self,
+        dataset,
+        samples_per_batch: int,
+        spec,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+    ):
         from gpt4roi_tpu.data.packing import collate_packed
 
         self._collate = collate_packed
@@ -79,12 +87,17 @@ class PackedBatchLoader:
         self.samples_per_batch = samples_per_batch
         self.spec = spec
         self.rng = np.random.default_rng(seed)
+        self.host_id = host_id
+        self.num_hosts = num_hosts
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.samples_per_batch
+        return len(self.dataset) // (self.samples_per_batch * self.num_hosts)
 
     def __iter__(self):
-        order = self.rng.permutation(len(self.dataset))
+        # all hosts share the seed -> identical permutation; each takes a
+        # disjoint stride (multihost data sharding, replacing torchrun's
+        # DistributedSampler)
+        order = self.rng.permutation(len(self.dataset))[self.host_id :: self.num_hosts]
         n = self.samples_per_batch
         for start in range(0, len(order) - n + 1, n):
             samples = [self.dataset[int(i)] for i in order[start : start + n]]
@@ -101,19 +114,23 @@ class BatchLoader:
         spec: BatchSpec,
         seed: int = 0,
         drop_last: bool = True,
+        host_id: int = 0,
+        num_hosts: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.spec = spec
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.host_id = host_id
+        self.num_hosts = num_hosts
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_hosts
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = self.rng.permutation(len(self.dataset))
+        order = self.rng.permutation(len(self.dataset))[self.host_id :: self.num_hosts]
         for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
             samples = [self.dataset[int(i)] for i in order[start : start + self.batch_size]]
             yield collate(samples, self.spec)

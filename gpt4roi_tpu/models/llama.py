@@ -219,13 +219,17 @@ def llama_decode_step(
     cache: KVCache,
     token_embeds: jax.Array,  # (B, 1, D)
     cache_len: jax.Array,  # scalar (batch-uniform, fast DUS path) or (B,)
+    positions: Optional[jax.Array] = None,  # (B,) RoPE positions (ragged
+    # left-padded batches: content position, not buffer position)
+    key_mask: Optional[jax.Array] = None,  # (B, S_max) pad-prefix mask
 ) -> Tuple[jax.Array, KVCache]:
     """One autoregressive step: write k/v at ``cache_len``, attend to the
     valid prefix + self, return logits (B, vocab) and the updated cache."""
     b, _, d = token_embeds.shape
     nh, nkv, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
-    pos_vec = jnp.broadcast_to(cache_len, (b,))  # (B,) for rope/masking
-    cos, sin = rope_tables(cfg, pos_vec[:, None])  # (B, 1, hd)
+    pos_vec = jnp.broadcast_to(cache_len, (b,))  # (B,) buffer positions
+    rope_pos = pos_vec if positions is None else positions
+    cos, sin = rope_tables(cfg, rope_pos[:, None])  # (B, 1, hd)
     x = token_embeds
     new_k, new_v = [], []
     for li, lp in enumerate(params["layers"]):
@@ -241,7 +245,9 @@ def llama_decode_step(
         new_v.append(cv)
         kr = _repeat_kv(ck, nh // nkv)
         vr = _repeat_kv(cv, nh // nkv)
-        att = decode_attention(q, kr.astype(q.dtype), vr.astype(q.dtype), pos_vec + 1)
+        att = decode_attention(
+            q, kr.astype(q.dtype), vr.astype(q.dtype), pos_vec + 1, key_mask=key_mask
+        )
         x = x + _proj(lp["o"], att.reshape(b, 1, d))
         y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
         y = _proj(lp["down"], jax.nn.silu(_proj(lp["gate"], y)) * _proj(lp["up"], y))

@@ -428,14 +428,19 @@ def decode_attention(
     k_cache: jax.Array,  # (B, S, N, D)
     v_cache: jax.Array,  # (B, S, N, D)
     cache_len: jax.Array,  # (B,) valid prefix length
+    key_mask: Optional[jax.Array] = None,  # (B, S) extra validity (left-pad)
 ) -> jax.Array:
-    """Single-step decode attention against a padded KV cache."""
+    """Single-step decode attention against a padded KV cache. ``key_mask``
+    additionally masks positions inside the prefix (left-padded ragged
+    batches keep their pad K/V permanently invisible)."""
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     logits = jnp.einsum("bqnd,bknd->bnqk", q, k_cache, preferred_element_type=jnp.float32)
     logits = logits * scale
     s = k_cache.shape[1]
     valid = jnp.arange(s)[None, :] < cache_len[:, None]  # (B, S)
+    if key_mask is not None:
+        valid = valid & key_mask.astype(bool)
     logits = jnp.where(valid[:, None, None, :], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bnqk,bknd->bqnd", probs.astype(v_cache.dtype), v_cache)

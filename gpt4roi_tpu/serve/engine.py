@@ -113,6 +113,45 @@ class Engine:
             (tok, cache, clen), toks = jax.lax.scan(body, (token_ids, cache, cache_len), keys)
             return toks.T, cache  # (B, n_steps)
 
+        @functools.partial(jax.jit, static_argnames=("prefill_len",))
+        def prefill_ragged_fn(params, input_ids, pad_len, images, boxes, box_mask, prefill_len):
+            """Left-padded ragged prefill: content right-aligned so every
+            sequence ends at the same buffer position; RoPE positions and
+            the segment mask are derived from per-sample pad lengths."""
+            b, s = input_ids.shape
+            ar = jnp.arange(s)[None, :]
+            seg = (ar >= pad_len[:, None]).astype(jnp.int32)  # 0 = pad
+            pos = jnp.clip(ar - pad_len[:, None], 0, None)
+            embeds = build_input_embeds(params, cfg_, input_ids, images, boxes, box_mask, dtype)
+            logits, _, kv = llama_forward(
+                params["llama"], cfg_.llama, inputs_embeds=embeds,
+                positions=pos, segment_ids=seg, return_kv=True,
+            )
+            return logits, kv
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def decode_chunk_ragged_fn(
+            params, cache, token_ids, buf_pos, content_pos, key_mask, temperature, key, n_steps
+        ):
+            def body(carry, step_key):
+                tok, cache, bp, cp = carry
+                emb = params["llama"]["embed"]["embedding"][tok][:, None, :].astype(dtype)
+                logits, cache = llama_decode_step(
+                    params["llama"], cfg_.llama, cache, emb, bp,
+                    positions=cp, key_mask=key_mask,
+                )
+                greedy = jnp.argmax(logits, axis=-1)
+                scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+                sampled = jax.random.categorical(step_key, scaled, axis=-1)
+                nxt = jnp.where(temperature > 0.0, sampled, greedy).astype(jnp.int32)
+                return (nxt, cache, bp + 1, cp + 1), nxt
+
+            keys = jax.random.split(key, n_steps)
+            (tok, cache, bp, cp), toks = jax.lax.scan(
+                body, (token_ids, cache, buf_pos, content_pos), keys
+            )
+            return toks.T, cache
+
         @jax.jit
         def encode_vision_fn(params, images, boxes, box_mask):
             return encode_vision(params, cfg_, images, boxes, box_mask, dtype)
@@ -136,10 +175,106 @@ class Engine:
             return logits, cache
 
         self._prefill = prefill_fn
+        self._prefill_ragged = prefill_ragged_fn
         self._decode = jax.jit(one_step)
         self._decode_chunk = decode_chunk_fn
+        self._decode_chunk_ragged = decode_chunk_ragged_fn
         self._encode_vision = encode_vision_fn
         self._extend = extend_fn
+
+    def generate_ragged(
+        self,
+        prompts: List[Sequence[int]],  # variable-length token lists
+        images: np.ndarray,  # (B, H, W, 3)
+        boxes: np.ndarray,  # (B, R, 4)
+        box_mask: np.ndarray,  # (B, R)
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        stop_token_ids: Sequence[int] = (),
+        seed: int = 0,
+        chunk_size: int = 16,
+    ) -> List[List[int]]:
+        """Batched generation over ragged prompts via left-padding: content
+        is right-aligned so all sequences end at one buffer position —
+        cache writes stay batch-uniform and per-sample RoPE positions /
+        pad masks keep numerics identical to unbatched generation. This is
+        the batched-serving throughput lever (decode amortises the weight
+        reads across the batch); the reference serves strictly one request
+        per generate call."""
+        assert self.cfg.decoder_type == "llama", "ragged batching is LLaMA-only for now"
+        b = len(prompts)
+        lengths = np.asarray([len(p) for p in prompts], np.int32)
+        bucket = _round_up(int(lengths.max()), self.ecfg.prefill_bucket)
+        total = bucket + max_new_tokens
+        assert total <= self.ecfg.max_seq_len
+
+        ids = np.zeros((b, bucket), np.int32)
+        pad_len = bucket - lengths
+        for i, p in enumerate(prompts):
+            ids[i, pad_len[i] :] = np.asarray(p, np.int32)
+
+        logits, kv = self._prefill_ragged(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(pad_len),
+            jnp.asarray(images),
+            jnp.asarray(boxes),
+            jnp.asarray(box_mask),
+            bucket,
+        )
+        cache = init_kv_cache(self.kv_config(), b, total, dtype=self.ecfg.compute_dtype)
+        cache = write_prefill_kv(cache, kv)
+
+        key_mask = np.ones((b, total), bool)
+        for i in range(b):
+            key_mask[i, : pad_len[i]] = False
+
+        last_logits = np.asarray(logits)[:, bucket - 1]
+        key = jax.random.PRNGKey(seed)
+        if temperature > 0:
+            key, sub = jax.random.split(key)
+            next_tok = np.asarray(
+                jax.random.categorical(sub, jnp.asarray(last_logits) / temperature, axis=-1)
+            ).astype(np.int32)
+        else:
+            next_tok = last_logits.argmax(-1).astype(np.int32)
+
+        outputs: List[List[int]] = [[int(t)] for t in next_tok]
+        done = np.zeros((b,), bool)
+        tok = jnp.asarray(next_tok)
+        buf_pos = jnp.int32(bucket)
+        content_pos = jnp.asarray(lengths)
+        remaining = max_new_tokens - 1
+
+        def check_stops() -> None:
+            for i in range(b):
+                if not done[i] and outputs[i] and outputs[i][-1] in stop_token_ids:
+                    done[i] = True
+
+        check_stops()
+        while remaining > 0 and not done.all():
+            n = min(chunk_size, remaining)
+            key, sub = jax.random.split(key)
+            toks, cache = self._decode_chunk_ragged(
+                self.params, cache, tok, buf_pos, content_pos,
+                jnp.asarray(key_mask), jnp.float32(temperature), sub, n,
+            )
+            toks_np = np.asarray(toks)
+            buf_pos = buf_pos + n
+            content_pos = content_pos + n
+            tok = toks[:, -1]
+            remaining -= n
+            for i in range(b):
+                if not done[i]:
+                    outputs[i].extend(int(t) for t in toks_np[i])
+            check_stops()
+        if stop_token_ids:
+            for i in range(b):
+                for j, t in enumerate(outputs[i]):
+                    if t in stop_token_ids:
+                        outputs[i] = outputs[i][: j + 1]
+                        break
+        return outputs
 
     def kv_config(self):
         """Shape config for init_kv_cache, covering both decoder types."""

@@ -147,7 +147,8 @@ def main(argv=None) -> None:
             max_images=((global_batch + n_dev - 1) // n_dev) * n_dev,
             rows=((rows + n_dev - 1) // n_dev) * n_dev,
         )
-        loader = PackedBatchLoader(dataset, global_batch, pspec, seed=args.seed)
+        loader = PackedBatchLoader(dataset, global_batch, pspec, seed=args.seed,
+            host_id=jax.process_index(), num_hosts=jax.process_count())
     else:
         spec = BatchSpec(
             seq_len=args.model_max_length,
@@ -155,7 +156,8 @@ def main(argv=None) -> None:
             image_size=cfg.clip.image_size,
             pad_token_id=pad_id,
         )
-        loader = BatchLoader(dataset, global_batch, spec, seed=args.seed)
+        loader = BatchLoader(dataset, global_batch, spec, seed=args.seed,
+            host_id=jax.process_index(), num_hosts=jax.process_count())
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * args.num_epochs
     if args.max_steps:
