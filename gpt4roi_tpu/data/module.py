@@ -19,6 +19,47 @@ from gpt4roi_tpu.core.registry import DATASETS
 from gpt4roi_tpu.data.collate import BatchSpec, collate
 
 
+class PrefetchLoader:
+    """Background-thread prefetch wrapper around any batch loader: keeps up
+    to ``depth`` collated batches ready so host-side image decode/pack work
+    overlaps device steps (the reference gets this from torch DataLoader
+    workers; our loaders are synchronous python)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        error: list = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # surface loader errors on the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
 class SubsetDataset:
     def __init__(self, dataset, indices: np.ndarray):
         self.dataset = dataset

@@ -28,7 +28,11 @@ def _manager(ckpt_dir: str, max_to_keep: int = 1):
     )
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, step: int, max_to_keep: int = 1) -> None:
+def save_checkpoint(
+    ckpt_dir: str, state: TrainState, step: int, max_to_keep: int = 1, block: bool = True
+) -> None:
+    """``block=False`` uses orbax's async save — training resumes while the
+    checkpoint streams to disk (call latest_step/wait later to sync)."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(ckpt_dir, max_to_keep)
@@ -40,7 +44,8 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int, max_to_keep: in
             step=ocp.args.ArraySave(np.asarray(state.step)),
         ),
     )
-    mgr.wait_until_finished()
+    if block:
+        mgr.wait_until_finished()
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
