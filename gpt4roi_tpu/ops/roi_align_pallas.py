@@ -89,7 +89,7 @@ def _kernel(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, tmp_ref, *,
             sl = tmp_ref[:, pl.ds(idx, 1), :] * wt  # (OH, 1, CB)
             acc = sl if acc is None else acc + sl
         cols.append(acc)
-    out_ref[0, 0] = jnp.concatenate(cols, axis=1)  # (OH, OW, CB)
+    out_ref[0, 0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)  # (OH, OW, CB)
 
 
 def _pick_cblock(
@@ -156,12 +156,16 @@ def _roi_align_pallas_fwd(
         out_specs=pl.BlockSpec(
             (1, 1, oh, ow, cb), lambda bi, ci, ri: (bi, ri, 0, 0, ci)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, r, oh, ow, c), jnp.float32),
+        # interpolation math runs in fp32 (mmcv parity) but the result is
+        # emitted in the input dtype — the SPI head casts it back anyway
+        # (gpt4roi/models/layers.py:313) and it halves the write traffic
+        out_shape=jax.ShapeDtypeStruct((b, r, oh, ow, c), feats.dtype),
         scratch_shapes=[pltpu.VMEM((oh, w, cb), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * r * (oh * ntap * w * c + oh * ow * ntap * c),
-            bytes_accessed=b * h * w * c * feats.dtype.itemsize + b * r * oh * ow * c * 4,
+            bytes_accessed=b * h * w * c * feats.dtype.itemsize
+            + b * r * oh * ow * c * feats.dtype.itemsize,
             transcendentals=0,
         ),
     )(ytap, xtap, ywt, xwt, feats)

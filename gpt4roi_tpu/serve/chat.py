@@ -144,6 +144,60 @@ class ChatSession:
         self.conv.messages[-1][1] = text
         return text
 
+    def ask_stream(self, user_text: str, seed: int = 0):
+        """Streaming ask: yields the accumulated reply text after every
+        decode chunk (true token streaming for the worker fleet; the
+        non-streaming ask() remains exact)."""
+        prompt, boxes, mask = self.build_prompt(user_text)
+        ids = np.asarray(
+            self.tokenizer(prompt, truncation=True, max_length=self.engine.ecfg.max_seq_len)[
+                "input_ids"
+            ],
+            np.int32,
+        )
+
+        emitted: List[str] = [""]
+
+        def stop_fn(toks: List[int]) -> bool:
+            return "###" in self.decode(toks)
+
+        if self._cached is None:
+            # no prefix cache: fall back to one-shot generation
+            out = self.engine.generate(
+                ids[None], self.image[None], boxes, mask,
+                max_new_tokens=self.max_new_tokens, temperature=self.temperature,
+                stop_fn=stop_fn, seed=seed,
+            )[0]
+            text = self.decode(out).split("###")[0].strip()
+            self.conv.messages[-1][1] = text
+            yield text
+            return
+
+        sess = self._cached
+        boxes_key = (boxes.tobytes(), mask.tobytes())
+        if sess.image_feats is None or boxes_key != self._last_boxes_key:
+            sess.set_vision(self.image[None], boxes, mask)
+            self._last_boxes_key = boxes_key
+        common = 0
+        limit = min(sess.pos, len(ids))
+        while common < limit and sess.ids[0, common] == ids[common]:
+            common += 1
+        sess.pos = common
+        sess.cached_upto = min(sess.cached_upto, common)
+
+        collected: List[int] = []
+        for chunk in sess.append_and_generate_stream(
+            [int(t) for t in ids[common:]],
+            max_new_tokens=self.max_new_tokens,
+            temperature=self.temperature,
+            stop_fn=stop_fn,
+            seed=seed,
+        ):
+            collected.extend(chunk)
+            emitted[0] = self.decode(collected).split("###")[0].strip()
+            yield emitted[0]
+        self.conv.messages[-1][1] = emitted[0]
+
     def _ask_cached(self, ids, boxes, mask, stop_ids, stop_fn, seed) -> List[int]:
         """Multi-round generation over the persistent KV/vision cache: the
         image is encoded once, region features re-encoded only when the box

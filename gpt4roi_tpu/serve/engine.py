@@ -437,6 +437,31 @@ class CachedSession:
         seed: int = 0,
         chunk_size: int = 16,
     ) -> List[int]:
+        out: List[int] = []
+        for chunk in self.append_and_generate_stream(
+            new_ids, max_new_tokens, temperature, stop_token_ids, stop_fn, seed, chunk_size
+        ):
+            out.extend(chunk)
+        if stop_token_ids:
+            for j, t in enumerate(out):
+                if t in stop_token_ids:
+                    out = out[: j + 1]
+                    break
+        return out
+
+    def append_and_generate_stream(
+        self,
+        new_ids: Sequence[int],
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        stop_token_ids: Sequence[int] = (),
+        stop_fn=None,
+        seed: int = 0,
+        chunk_size: int = 16,
+    ):
+        """Generator variant: yields lists of newly decoded token ids after
+        the prefill and after every decode chunk (true streaming for the
+        worker fleet)."""
         assert self.image_feats is not None, "set_vision first"
         self._ensure_cache()
         n = len(new_ids)
@@ -476,6 +501,7 @@ class CachedSession:
         tok = jnp.asarray([nxt], jnp.int32)
         cache_len = jnp.int32(self.pos)
         self.pos += 1
+        yield [nxt]
         remaining = max_new_tokens - 1
 
         def stopped() -> bool:
@@ -489,18 +515,13 @@ class CachedSession:
             toks, self.cache = self.engine._decode_chunk(
                 self.engine.params, self.cache, tok, cache_len, jnp.float32(temperature), sub, k
             )
-            toks_np = np.asarray(toks)[0]
+            toks_np = [int(t) for t in np.asarray(toks)[0]]
             for t in toks_np:
-                self.ids[0, self.pos] = int(t)
+                self.ids[0, self.pos] = t
                 self.pos += 1
-                out.append(int(t))
+                out.append(t)
             cache_len = cache_len + k
             self.cached_upto = int(cache_len)
             tok = toks[:, -1]
             remaining -= k
-        if stop_token_ids:
-            for j, t in enumerate(out):
-                if t in stop_token_ids:
-                    out = out[: j + 1]
-                    break
-        return out
+            yield toks_np

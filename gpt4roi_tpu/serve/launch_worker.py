@@ -35,13 +35,14 @@ def build_generate_stream(session):
                 )
         session.temperature = float(params.get("temperature", session.temperature))
         session.max_new_tokens = int(params.get("max_new_tokens", session.max_new_tokens))
-        text = session.ask(params.get("prompt", ""))
-        # chunked emission for streaming clients (generation itself runs in
-        # device-side chunks; emit sentence-ish pieces)
-        acc = ""
-        for piece in text.split(" "):
-            acc = (acc + " " + piece).strip()
-            yield acc
+        # true streaming: one emission per device-side decode chunk
+        last = ""
+        for partial in session.ask_stream(params.get("prompt", "")):
+            if partial != last:
+                last = partial
+                yield partial
+        if not last:
+            yield ""
 
     return generate_stream
 
