@@ -99,6 +99,36 @@ def test_packed_matches_unpacked(tiny, rng):
     np.testing.assert_allclose(packed_loss, want, rtol=2e-4)
 
 
+def test_sharded_packed_train_step(tiny, rng):
+    """Packed train step on the 8-device mesh (images shard on data too)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpt4roi_tpu.core.mesh import make_mesh
+    from gpt4roi_tpu.train.loop import make_sharded_train_step
+    from gpt4roi_tpu.train.state import TrainConfig
+
+    cfg, params = tiny
+    samples = [make_sample(cfg, rng, n_extra=4 + i, n_boxes=1 + i % 2) for i in range(8)]
+    spec = PackSpec(
+        seq_len=48, max_regions=4, image_size=cfg.clip.image_size, pad_token_id=0,
+        im_patch_token_id=cfg.im_patch_token_id, bbox_token_id=cfg.bbox_token_id,
+        num_image_tokens=cfg.num_image_tokens, max_images=8, rows=8,
+    )
+    batch = collate_packed(samples, spec)
+    batch.pop("num_images")
+    mesh = make_mesh(jax.devices()[:8])
+    tcfg = TrainConfig(stage="stage1", learning_rate=1e-3, total_steps=4, warmup_steps=0)
+    jit_step, init_state, _ = make_sharded_train_step(
+        cfg, tcfg, mesh, params, compute_dtype=jnp.float32, packed=True
+    )
+    state = init_state(jax.tree_util.tree_map(np.asarray, params))
+    sh = NamedSharding(mesh, P("data"))
+    dev_batch = {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+    state, metrics = jit_step(state, dev_batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_packed_logits_per_position(tiny, rng):
     """Logits at each packed position equal the unpacked sample's logits."""
     cfg, params = tiny
