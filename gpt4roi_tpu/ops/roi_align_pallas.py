@@ -93,7 +93,7 @@ def _kernel(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, tmp_ref, *,
 
 
 def _pick_cblock(
-    c: int, h: int, w: int, oh: int, bytes_per_elem: int, budget: int = 20 * 2**20
+    c: int, h: int, w: int, oh: int, bytes_per_elem: int, budget: int = 24 * 2**20
 ) -> int:
     """Largest channel block whose double-buffered feature tile + fp32 row
     scratch fit the VMEM budget."""
