@@ -87,6 +87,14 @@ def test_http_fleet_end_to_end():
             timeout=5,
         )
         assert r.json()["exist"]
+
+        # fleet client: controller-resolved streaming
+        from gpt4roi_tpu.serve.client import generate_stream, get_worker
+
+        resolved = get_worker(curl, "gpt4roi-tpu")
+        assert resolved == worker.worker_url
+        texts = list(generate_stream(resolved, "hi"))
+        assert texts == ["a", "ab", "abc"]
     finally:
         worker.shutdown()
         controller.shutdown()
