@@ -139,17 +139,21 @@ def init_spi_params(key: jax.Array, cfg: SpiConfig, dtype=jnp.float32) -> Params
     }
 
 
-def _conv(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME") -> jax.Array:
-    # no preferred_element_type here: mixing it with bf16 operands breaks
-    # the conv transpose (AD) dtype check; XLA TPU already accumulates
-    # bf16 convs in fp32 internally
-    y = jax.lax.conv_general_dilated(
+def _conv_kernel(kernel: jax.Array, x: jax.Array, stride: int = 1, padding: str = "SAME") -> jax.Array:
+    return jax.lax.conv_general_dilated(
         x,
-        p["kernel"].astype(x.dtype),
+        kernel.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def _conv(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME") -> jax.Array:
+    # no preferred_element_type here: mixing it with bf16 operands breaks
+    # the conv transpose (AD) dtype check; XLA TPU already accumulates
+    # bf16 convs in fp32 internally
+    y = _conv_kernel(p["kernel"], x, stride, padding)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -181,17 +185,27 @@ def mlvl_fuse(params: Params, feats: List[jax.Array], cfg: SpiConfig) -> List[ja
     rc, sc = cfg.remain_channels, cfg.shuffle_channels
 
     def one_round(levels, fuse_p):
+        # conv(concat(a, b, c)) == conv_a(a) + conv_b(b) + conv_c(c) with the
+        # kernel sliced along input channels — skips materialising the
+        # concatenated 1024-ch map (measured ~1 ms/round on v5e) while
+        # keeping the reference's channel-shuffle semantics exactly
+        kern = fuse_p["conv"]["kernel"]
+        k_rem = kern[:, :, :rc, :]
+        k_top = kern[:, :, rc : rc + sc, :]
+        k_down = kern[:, :, rc + sc :, :]
         new_levels = []
         for lvl in range(n):
             top = min(lvl + 1, n - 1)
             down = max(lvl - 1, 0)
             tar = levels[lvl]
             hw = (tar.shape[1], tar.shape[2])
-            remain = tar[..., :rc]
             from_top = interpolate_bilinear(levels[top][..., rc + sc :], hw, align_corners=True)
             from_down = interpolate_bilinear(levels[down][..., rc : rc + sc], hw, align_corners=True)
-            fused = jnp.concatenate([remain, from_top, from_down], axis=-1)
-            y = _conv(fuse_p["conv"], fused)
+            y = (
+                _conv_kernel(k_rem, tar[..., :rc])
+                + _conv_kernel(k_top, from_top)
+                + _conv_kernel(k_down, from_down)
+            )
             y = group_norm(y, fuse_p["gn"]["scale"], fuse_p["gn"]["bias"], cfg.gn_groups)
             new_levels.append(jax.nn.relu(y))
         return new_levels

@@ -60,6 +60,27 @@ def resize_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarra
     return linear_weight_rows(src, in_size)
 
 
+def _hilo(m: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split an fp32 matrix into bf16 hi + lo halves (hi + lo ~ m to ~2^-17
+    relative) so a 2-pass bf16 MXU matmul reproduces fp32-weight accuracy."""
+    import ml_dtypes
+
+    hi = np.asarray(m, ml_dtypes.bfloat16)
+    lo = np.asarray(m - hi.astype(np.float32), ml_dtypes.bfloat16)
+    return jnp.asarray(hi, jnp.bfloat16), jnp.asarray(lo, jnp.bfloat16)
+
+
+def _mm_hilo(m: np.ndarray, x: jax.Array, sub: str) -> jax.Array:
+    """einsum(sub, m, x) with bf16 hi/lo weight split, fp32 accumulation,
+    bf16 result. ~3x faster than fp32-HIGHEST on the MXU (2 passes vs 6)
+    with error far below the bf16 operand quantisation."""
+    hi, lo = _hilo(m)
+    y = jnp.einsum(sub, hi, x, preferred_element_type=jnp.float32) + jnp.einsum(
+        sub, lo, x, preferred_element_type=jnp.float32
+    )
+    return y.astype(jnp.bfloat16)
+
+
 def interpolate_bilinear(
     x: jax.Array,
     size: Tuple[int, int],
@@ -68,19 +89,26 @@ def interpolate_bilinear(
     """Bilinear-resize ``x`` (..., H, W, C) to (..., size[0], size[1], C).
 
     Matches ``torch.nn.functional.interpolate(mode='bilinear')`` numerics for
-    both corner conventions. Computation runs in float32 on the MXU and is
-    cast back to the input dtype (the reference also upcasts for interp:
-    gpt4roi/models/layers.py:166-169).
+    both corner conventions. fp32 inputs compute in fp32-HIGHEST on the MXU
+    (the reference also upcasts for interp: gpt4roi/models/layers.py:166-169);
+    bf16 inputs use a bf16 hi/lo weight split — fp32-equivalent interpolation
+    weights at bf16 matmul speed, the operands being bf16-quantised anyway.
     """
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = size
     if (h, w) == (oh, ow):
         return x
-    ry = jnp.asarray(resize_matrix(h, oh, align_corners))
-    rx = jnp.asarray(resize_matrix(w, ow, align_corners))
+    ry = resize_matrix(h, oh, align_corners)
+    rx = resize_matrix(w, ow, align_corners)
     orig_dtype = x.dtype
+    if orig_dtype == jnp.bfloat16:
+        y = _mm_hilo(ry, x, "ih,...hwc->...iwc")
+        return _mm_hilo(rx, y, "jw,...iwc->...ijc")
     y = jnp.einsum(
-        "ih,...hwc->...iwc", ry, x.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
+        "ih,...hwc->...iwc",
+        jnp.asarray(ry),
+        x.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
-    y = jnp.einsum("jw,...iwc->...ijc", rx, y, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("jw,...iwc->...ijc", jnp.asarray(rx), y, precision=jax.lax.Precision.HIGHEST)
     return y.astype(orig_dtype)

@@ -39,7 +39,11 @@ def group_norm(
     assert c % num_groups == 0, (c, num_groups)
     xf = x.astype(jnp.float32).reshape(*lead, h, w, num_groups, c // num_groups)
     axes = (-4, -3, -1)
+    # single-stats-pass form (E[x^2] - mean^2): one fewer full read of the
+    # activation than the two-pass variance — fp32 accumulation keeps it
+    # stable for normalised activations
     mean = xf.mean(axis=axes, keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=axes, keepdims=True)
+    sq = jnp.mean(xf * xf, axis=axes, keepdims=True)
+    var = jnp.maximum(sq - mean * mean, 0.0)
     y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(*lead, h, w, c)
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
