@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from gpt4roi_tpu.ops.attention import decode_attention, mha as _mha, self_attention
 from gpt4roi_tpu.ops.norms import rms_norm
+from gpt4roi_tpu.ops.quant import quant_matmul
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +117,8 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _proj(p: Params, x: jax.Array) -> jax.Array:
+    if "kernel_q" in p:  # int8 weight-only path (ops/quant.py)
+        return quant_matmul(x, p)
     return x @ p["kernel"].astype(x.dtype)
 
 

@@ -25,6 +25,7 @@ fold the sample-grid average; out-of-range samples contribute 0).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -92,11 +93,19 @@ def _kernel(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, tmp_ref, *,
     out_ref[0, 0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)  # (OH, OW, CB)
 
 
+def _vmem_budget_mb(default: int = 24) -> int:
+    """Tunable VMEM budget (MB) for feature-tile sizing; the pallas_call
+    vmem limit is set ~4 MB above it."""
+    return int(os.environ.get("GPT4ROI_ROI_VMEM_MB", default))
+
+
 def _pick_cblock(
-    c: int, h: int, w: int, oh: int, bytes_per_elem: int, budget: int = 24 * 2**20
+    c: int, h: int, w: int, oh: int, bytes_per_elem: int, budget: int | None = None
 ) -> int:
     """Largest channel block whose double-buffered feature tile + fp32 row
     scratch fit the VMEM budget."""
+    if budget is None:
+        budget = _vmem_budget_mb() * 2**20
     cb = min(c, 512)
 
     def vmem(cb_: int) -> int:
@@ -109,17 +118,23 @@ def _pick_cblock(
     return max(cb, 1)
 
 
-def _kernel_v2(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, *, oh, ow, ntap, rb):
-    """Multi-RoI variant: RB rois per grid step. The y-contraction stacks the
-    RB rois' pooled-interp matrices into one (RB*OH, H) operand built
-    in-kernel from VMEM tap tables (one-hot iota compares), so the MXU sees
-    ~full rows instead of 14; weights split into bf16 hi+lo halves to keep
-    fp32-equivalent interpolation accuracy at bf16 matmul speed. The
-    x-contraction is a small per-roi batched dot."""
+def _kernel_v3(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, *, oh, ow, ntap, rb):
+    """Multi-RoI stacked-matmul variant: RB rois per grid step.
+
+    The y-contraction stacks the RB rois' pooled-interp matrices into one
+    (RB*OH, H) operand built in-kernel from VMEM tap tables (one-hot iota
+    compares) so the MXU sees ~full rows instead of 14. Unlike the retired
+    v2 variant this runs a SINGLE bf16 weight pass (taps quantised to bf16,
+    rel err ~2^-9 — the output is emitted in the input dtype anyway, so the
+    weight quantisation is the same order as the existing output rounding)
+    and emits (OW, OH) spatial order to skip the per-roi in-kernel
+    transposes; the caller swaps the two 14-wide axes in XLA where the swap
+    fuses into the consumer."""
     h = feat_ref.shape[1]
     w = feat_ref.shape[2]
     cb = feat_ref.shape[3]
     rows = rb * oh
+    fdt = feat_ref.dtype
 
     ytap = ytap_ref[0]  # (RB*OH, ntap) int32 (host pre-stacked)
     ywt = ywt_ref[0]
@@ -128,24 +143,11 @@ def _kernel_v2(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, *, oh, o
     for t in range(ntap):
         a = a + jnp.where(iota_h == ytap[:, t][:, None], ywt[:, t][:, None], 0.0)
     feat2 = feat_ref[0].reshape(h, w * cb)
-    if feat_ref.dtype == jnp.bfloat16:
-        # bf16 MXU speed with fp32-equivalent weights: split A into hi+lo
-        # bf16 halves (weight error ~2^-16, far below the bf16 features)
-        a_hi = a.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        tmp = jax.lax.dot_general(
-            a_hi, feat2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) + jax.lax.dot_general(
-            a_lo, feat2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (RB*OH, W*CB) fp32
-    else:
-        # Mosaic's default fp32 dot is multi-pass bf16 (~4e-3 rel error);
-        # the reference's RoIAlign is true fp32 -> force HIGHEST
-        tmp = jax.lax.dot_general(
-            a, feat2.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    # (RB*OH, H) @ (H, W*CB) -> (RB*OH, W*CB) fp32 accumulate on the MXU
+    tmp = jax.lax.dot_general(
+        a.astype(fdt), feat2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     xtap = xtap_ref[0]  # (RB*OW, ntap)
     xwt = xwt_ref[0]
@@ -153,17 +155,16 @@ def _kernel_v2(ytap_ref, xtap_ref, ywt_ref, xwt_ref, feat_ref, out_ref, *, oh, o
     bx = jnp.zeros((rb * ow, w), jnp.float32)
     for t in range(ntap):
         bx = bx + jnp.where(iota_w == xtap[:, t][:, None], xwt[:, t][:, None], 0.0)
-    bx = bx.reshape(rb, ow, w)
+    bx = bx.reshape(rb, ow, w).astype(jnp.float32)
 
     tmp4 = tmp.reshape(rb, oh, w, cb)
-    for r_ in range(rb):
-        # (OW, W) x (OH, W, CB) -> contract W -> (OW, OH, CB) -> (OH, OW, CB)
-        o = jax.lax.dot_general(
-            bx[r_], tmp4[r_], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[0, r_] = o.transpose(1, 0, 2).astype(out_ref.dtype)
+    # batched (RB) dot: (OW, W) x (OH, W, CB) contract W -> (RB, OW, OH, CB),
+    # written in that order (transpose-free); fp32 lhs x fp32 rhs
+    o = jax.lax.dot_general(
+        bx, tmp4, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = o.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned"))
@@ -183,13 +184,15 @@ def _roi_align_pallas_fwd(
     ntap = 2 * g
 
     RB = 8  # rois per grid step in the stacked-matmul variant
-    # Stacked-matmul variant (_kernel_v2): measured SLOWER than the
-    # slice-based kernel at production shape (6.5 ms vs 3.8 ms, lvl0
-    # 8x128x128x1024/256 rois) — the bf16 hi/lo weight split doubles the
-    # y-stage FLOPs and fp32-HIGHEST x-stage costs 6 MXU passes. Kept
-    # selectable for future Mosaic revisions; numerics verified exact.
-    use_v2 = False
-    r = ((r_orig + RB - 1) // RB) * RB if use_v2 else r_orig
+    # The stacked-matmul variants (v2 hi/lo, v3 single-bf16-pass) both
+    # measured SLOWER than the slice kernel at production scale (v3: 9.5 ms
+    # vs 7.6 ms for all 4 levels) — Mosaic lowers the per-roi x-stage dots
+    # as many tiny (14, W) matmuls whose fixed cost dominates, and the
+    # (h, w*cb) reshape forces a VMEM relayout of the feature tile. The
+    # slice kernel's VPU tap-slices pipeline cleanly against the feature
+    # DMAs instead. v3 stays selectable for future Mosaic revisions.
+    use_v3 = os.environ.get("GPT4ROI_ROI_KERNEL", "slice") == "v3" and feats.dtype == jnp.bfloat16
+    r = ((r_orig + RB - 1) // RB) * RB if use_v3 else r_orig
     if r != r_orig:
         boxes = jnp.pad(boxes, ((0, 0), (0, r - r_orig), (0, 0)))
         box_mask = jnp.pad(box_mask, ((0, 0), (0, r - r_orig)))
@@ -209,7 +212,7 @@ def _roi_align_pallas_fwd(
     ywt = ywt * mask  # invalid rois -> all-zero weights -> exact zero output
     xwt = xwt * mask
 
-    if use_v2:
+    if use_v3:
         # the stacked intermediate is (RB*OH, W*CB) fp32 — size the channel
         # block for it
         cb = _pick_cblock(c, h, w, RB * oh, feats.dtype.itemsize)
@@ -220,7 +223,7 @@ def _roi_align_pallas_fwd(
         ywt = ywt.reshape(b * r // RB, RB * oh, ntap)
         xtap = xtap.reshape(b * r // RB, RB * ow, ntap)
         xwt = xwt.reshape(b * r // RB, RB * ow, ntap)
-        kernel = functools.partial(_kernel_v2, oh=oh, ow=ow, ntap=ntap, rb=RB)
+        kernel = functools.partial(_kernel_v3, oh=oh, ow=ow, ntap=ntap, rb=RB)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -231,10 +234,12 @@ def _roi_align_pallas_fwd(
                 pl.BlockSpec((1, RB * ow, ntap), lambda bi, ci, ri: (bi * (r // RB) + ri, 0, 0)),
                 pl.BlockSpec((1, h, w, cb), lambda bi, ci, ri: (bi, 0, 0, ci)),
             ],
+            # kernel emits (OW, OH) spatial order (transpose-free x-stage);
+            # swapped back below in XLA where it fuses into the consumer
             out_specs=pl.BlockSpec(
-                (1, RB, oh, ow, cb), lambda bi, ci, ri: (bi, ri, 0, 0, ci)
+                (1, RB, ow, oh, cb), lambda bi, ci, ri: (bi, ri, 0, 0, ci)
             ),
-            out_shape=jax.ShapeDtypeStruct((b, r, oh, ow, c), feats.dtype),
+            out_shape=jax.ShapeDtypeStruct((b, r, ow, oh, c), feats.dtype),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * r * (oh * h * w * c // 16 + oh * ow * ntap * c),
@@ -243,7 +248,7 @@ def _roi_align_pallas_fwd(
                 transcendentals=0,
             ),
         )(ytap, xtap, ywt, xwt, feats)
-        return out[:, :r_orig]
+        return jnp.swapaxes(out, 2, 3)[:, :r_orig]
 
     cb = _pick_cblock(c, h, w, oh, feats.dtype.itemsize)
     grid = (b, c // cb, r)
@@ -266,7 +271,9 @@ def _roi_align_pallas_fwd(
         # (gpt4roi/models/layers.py:313) and it halves the write traffic
         out_shape=jax.ShapeDtypeStruct((b, r, oh, ow, c), feats.dtype),
         scratch_shapes=[pltpu.VMEM((oh, w, cb), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2**20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(_vmem_budget_mb() + 4) * 2**20
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * r * (oh * ntap * w * c + oh * ow * ntap * c),
             bytes_accessed=b * h * w * c * feats.dtype.itemsize
