@@ -16,6 +16,7 @@ from typing import List, Optional, Tuple
 class SeparatorStyle(enum.Enum):
     SINGLE = "single"
     TWO = "two"
+    MPT = "mpt"
 
 
 @dataclasses.dataclass
@@ -46,6 +47,16 @@ class Conversation:
                     ret += role + ": " + message + seps[i % 2]
                 else:
                     ret += role + ":"
+            return ret
+        if self.sep_style == SeparatorStyle.MPT:
+            # ChatML: roles already carry '<|im_start|>role\n'; no ': ' glue
+            # (llava/conversation.py:49-58)
+            ret = self.system + self.sep
+            for role, message in self.messages:
+                if message:
+                    ret += role + message + self.sep
+                else:
+                    ret += role
             return ret
         raise ValueError(self.sep_style)
 
@@ -89,11 +100,26 @@ conv_vicuna_v1_1 = Conversation(
     version="v1",
 )
 
+conv_mpt = Conversation(
+    # ChatML-style template for the MPT decoder variant
+    # (llava/conversation.py:244-252; selected via conv_templates['mpt'])
+    system="""<|im_start|>system
+- You are a helpful language and vision assistant.
+- You are able to understand the visual content that the user provides, and assist the user with a variety of tasks using natural language.
+- You should follow the instructions carefully and explain your answers in detail.""",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
+    messages=[],
+    sep_style=SeparatorStyle.MPT,
+    sep="<|im_end|>",
+    version="mpt",
+)
+
 conv_templates = {
     "default": conv_v0,
     "v0": conv_v0,
     "v1": conv_vicuna_v1_1,
     "vicuna_v1_1": conv_vicuna_v1_1,
+    "mpt": conv_mpt,
 }
 
 default_conversation = conv_v0

@@ -109,6 +109,8 @@ def preprocess(sources: List[List[Dict[str, str]]], tokenizer) -> Dict[str, List
     input_ids/labels (padding happens in the static-shape collator)."""
     if conversation_lib.default_conversation.version == "v1":
         return preprocess_v1(sources, tokenizer)
+    if conversation_lib.default_conversation.version == "mpt":
+        return preprocess_mpt(sources, tokenizer)
     conversations = []
     headers = []
     for source in sources:
@@ -156,6 +158,56 @@ def preprocess_v1(sources: List[List[Dict[str, str]]], tokenizer) -> Dict[str, L
             parts[0] += sep
             round_len = len(_ids(tokenizer, rou))
             instruction_len = len(_ids(tokenizer, parts[0])) - 2
+            target[cur_len : cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < tokenizer.model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def preprocess_mpt(sources: List[List[Dict[str, str]]], tokenizer) -> Dict[str, List[np.ndarray]]:
+    """ChatML/MPT-style path (train.py:282-353).
+
+    Round structure differs from v1: the prompt splits on ``<|im_end|>`` into
+    [system, user, gpt, user, gpt, ...]; the first masked "round" is
+    system+user+gpt re-joined (rounds[:3]), later rounds are user+gpt pairs.
+    ``cur_len`` starts at 0 (the MPT/GPT-NeoX tokenizer emits no BOS), each
+    round's length counts one trailing separator, and the instruction prefix
+    up to ``<|im_end|><|im_start|>assistant\\n`` is masked."""
+    conv = conversation_lib.conv_mpt.copy()
+    roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
+    conversations = []
+    for source in sources:
+        if roles[source[0]["from"]] != conv.roles[0]:
+            source = source[1:]
+        conv.messages = []
+        for j, sentence in enumerate(source):
+            role = roles[sentence["from"]]
+            assert role == conv.roles[j % 2]
+            conv.append_message(role, sentence["value"])
+        conversations.append(conv.get_prompt())
+
+    input_ids = [_ids(tokenizer, c) for c in conversations]
+    targets = copy.deepcopy(input_ids)
+    sep = conv.sep + conv.roles[1]
+    for conversation, target in zip(conversations, targets):
+        total_len = int((target != tokenizer.pad_token_id).sum())
+        rounds = conversation.split(conv.sep)
+        re_rounds = [conv.sep.join(rounds[:3])]  # system + user + gpt
+        for idx in range(3, len(rounds), 2):
+            re_rounds.append(conv.sep.join(rounds[idx : idx + 2]))  # user + gpt
+        cur_len = 0
+        target[:cur_len] = IGNORE_INDEX
+        for rou in re_rounds:
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            round_len = len(_ids(tokenizer, rou)) + len(_ids(tokenizer, conv.sep))
+            instruction_len = len(_ids(tokenizer, parts[0]))
             target[cur_len : cur_len + instruction_len] = IGNORE_INDEX
             cur_len += round_len
         target[cur_len:] = IGNORE_INDEX

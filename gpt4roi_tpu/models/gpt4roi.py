@@ -95,16 +95,24 @@ Params = Dict[str, Any]
 
 def init_gpt4roi_params(key: jax.Array, cfg: Gpt4RoiConfig, dtype=jnp.float32) -> Params:
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    d_vis, d_lm = cfg.clip.hidden_size, cfg.llama.hidden_size
-    return {
+    is_mpt = cfg.decoder_type == "mpt"
+    d_vis = cfg.clip.hidden_size
+    d_lm = cfg.mpt.d_model if is_mpt else cfg.llama.hidden_size
+    out = {
         "clip": init_clip_params(k1, cfg.clip, dtype),
         "mm_projector": {
             "kernel": jax.random.normal(k2, (d_vis, d_lm), dtype) * (d_vis**-0.5),
             "bias": jnp.zeros((d_lm,), dtype),
         },
         "spi": init_spi_params(k3, cfg.spi, dtype),
-        "llama": init_llama_params(k4, cfg.llama, dtype),
     }
+    if is_mpt:
+        from gpt4roi_tpu.models.mpt import init_mpt_params
+
+        out["mpt"] = init_mpt_params(k4, cfg.mpt, dtype)
+    else:
+        out["llama"] = init_llama_params(k4, cfg.llama, dtype)
+    return out
 
 
 def masked_scatter_embeds(

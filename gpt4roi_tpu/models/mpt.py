@@ -165,6 +165,7 @@ def mpt_decode_step(
     cache,  # KVCache from models.llama (same structure)
     token_embeds: jax.Array,  # (B, 1, D)
     cache_len: jax.Array,  # (B,)
+    key_mask: Optional[jax.Array] = None,  # (B, S_max) False = never attend
 ):
     from gpt4roi_tpu.models.llama import KVCache
 
@@ -199,6 +200,11 @@ def mpt_decode_step(
         )
         logits = logits + bias
         valid = jnp.arange(s_max)[None, :] <= pos_vec[:, None]
+        if key_mask is not None:
+            # left-padded ragged batching: pad slots never become keys.
+            # ALiBi is translation-invariant in its relative form, so
+            # buffer positions give correct biases under left-padding.
+            valid = valid & key_mask
         logits = jnp.where(valid[:, None, None, :], logits, _NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1).astype(cv.dtype)
         att = jnp.einsum("bnqk,bknd->bqnd", probs, cv).reshape(b, 1, d).astype(x.dtype)
@@ -208,4 +214,61 @@ def mpt_decode_step(
         x = x + y
     x = _ln(params["final_norm"], x, cfg.layer_norm_eps)
     logits = _proj(params["lm_head"], x)[:, 0]
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+def mpt_extend(
+    params: Params,
+    cfg: MptConfig,
+    cache,  # KVCache
+    new_embeds: jax.Array,  # (B, T, D) embeddings of the appended tokens
+    start: jax.Array,  # scalar: number of tokens already in the cache
+):
+    """Incremental prefill for prefix-cache chat sessions (ALiBi analog of
+    llama_extend; the reference recomputes the whole prefill every round,
+    gpt4roi/app.py:285-300). Biases use absolute buffer positions — ALiBi's
+    per-query constant cancels in softmax."""
+    from gpt4roi_tpu.models.llama import KVCache
+
+    b, t, d = new_embeds.shape
+    s_max = cache.k[0].shape[1]
+    nh, hd = cfg.n_heads, cfg.head_dim
+    scale = 1.0 / math.sqrt(hd)
+    slopes = alibi_slopes(nh, cfg.alibi_bias_max)
+
+    qpos = (start + jnp.arange(t)).astype(jnp.float32)  # (T,)
+    kpos = jnp.arange(s_max, dtype=jnp.float32)  # (S,)
+    bias = slopes[:, None, None] * (kpos[None, None, :] - qpos[None, :, None])  # (H, T, S)
+    allow = jnp.arange(s_max)[None, None, :] <= (start + jnp.arange(t))[None, :, None]
+
+    x = new_embeds
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layers"]):
+        y = _ln(lp["norm_1"], x, cfg.layer_norm_eps)
+        qkv = _proj(lp["wqkv"], y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, nh, hd)
+        k = k.reshape(b, t, nh, hd)
+        v = v.reshape(b, t, nh, hd)
+        ck = jax.lax.dynamic_update_slice(
+            cache.k[li], k.astype(cache.k[li].dtype), (0, start, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache.v[li], v.astype(cache.v[li].dtype), (0, start, 0, 0)
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+        logits = jnp.einsum(
+            "bqnd,bknd->bnqk", q, ck.astype(q.dtype), preferred_element_type=jnp.float32
+        ) * scale
+        logits = logits + bias[None]
+        logits = jnp.where(allow[:, None], logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(cv.dtype)
+        att = jnp.einsum("bnqk,bknd->bqnd", probs, cv).reshape(b, t, d).astype(x.dtype)
+        x = x + _proj(lp["out_proj"], att)
+        y = _ln(lp["norm_2"], x, cfg.layer_norm_eps)
+        y = _proj(lp["down"], jax.nn.gelu(_proj(lp["up"], y), approximate=False))
+        x = x + y
+    x = _ln(params["final_norm"], x, cfg.layer_norm_eps)
+    logits = _proj(params["lm_head"], x)
     return logits, KVCache(k=new_k, v=new_v)

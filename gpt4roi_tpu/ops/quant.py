@@ -127,6 +127,23 @@ def _qmm_pallas(x: jax.Array, q: jax.Array, scale: jax.Array, out_dtype=jnp.bflo
     return y[:m]
 
 
+def _w8a8_matmul(x2: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    """Dynamic per-row (per-token) activation quantization + int8 x int8 dot.
+
+    xq = round(x / sx) with sx = max|x|/127 per row; the dot runs int8 on
+    the MXU (no VPU widen of the WEIGHT operand — the decode bottleneck),
+    accumulates int32, and the fp32 epilogue applies sx * sw. Activation
+    error is per-token absmax int8 (~2^-7 relative) on top of the weight's
+    per-channel int8 — the standard W8A8 class."""
+    ax = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.where(ax > 0, ax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * sx) * scale
+
+
 def quant_matmul(x: jax.Array, qp: "QuantDense") -> jax.Array:
     """x (..., in) bf16/fp32 @ quantized weights -> (..., out_dim).
 
@@ -135,18 +152,22 @@ def quant_matmul(x: jax.Array, qp: "QuantDense") -> jax.Array:
     ~500-700 GB/s; raw int8 converts at only ~50-275 GB/s depending on op
     shape). XLA's fused widen-in-matmul sustains that VPU bound; a Pallas
     widen kernel measured strictly worse (100-150 GB/s: per-step widen and
-    M=8 MXU ops serialise). So the default path is the XLA dequant matmul
-    everywhere; the Pallas kernel stays selectable (GPT4ROI_QMM=pallas)
-    for future Mosaic int8-native-MXU support."""
+    M=8 MXU ops serialise). Mode select via GPT4ROI_QMM:
+      xla (default)  — XLA dequant-in-matmul, weight-only error class
+      pallas         — Pallas widen kernel (future Mosaic int8 support)
+      w8a8           — dynamic per-token int8 activations, int8 x int8 on
+                       the MXU natively (skips the weight widen entirely)"""
     out_dim = qp.out_dim
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    use_pallas = (
-        os.environ.get("GPT4ROI_QMM", "xla") == "pallas"
+    mode = os.environ.get("GPT4ROI_QMM", "xla")
+    if mode == "w8a8":
+        y = _w8a8_matmul(x2, qp.kernel_q, qp.scale).astype(x.dtype)
+    elif (
+        mode == "pallas"
         and jax.default_backend() == "tpu"
         and x2.shape[-1] % 128 == 0
-    )
-    if use_pallas:
+    ):
         y = _qmm_pallas(x2, qp.kernel_q, qp.scale, out_dtype=x.dtype)
     else:
         y = (x2 @ qp.dense_q.astype(x.dtype)) * qp.scale.astype(x.dtype)

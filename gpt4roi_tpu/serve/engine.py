@@ -123,10 +123,20 @@ class Engine:
             seg = (ar >= pad_len[:, None]).astype(jnp.int32)  # 0 = pad
             pos = jnp.clip(ar - pad_len[:, None], 0, None)
             embeds = build_input_embeds(params, cfg_, input_ids, images, boxes, box_mask, dtype)
-            logits, _, kv = llama_forward(
-                params["llama"], cfg_.llama, inputs_embeds=embeds,
-                positions=pos, segment_ids=seg, return_kv=True,
-            )
+            if is_mpt:
+                # ALiBi is translation-invariant, so left-padding needs no
+                # position override — only the pad pair-mask
+                from gpt4roi_tpu.models.mpt import mpt_forward
+
+                logits, _, kv = mpt_forward(
+                    params["mpt"], cfg_.mpt, inputs_embeds=embeds,
+                    attention_mask=seg.astype(jnp.float32), return_kv=True,
+                )
+            else:
+                logits, _, kv = llama_forward(
+                    params["llama"], cfg_.llama, inputs_embeds=embeds,
+                    positions=pos, segment_ids=seg, return_kv=True,
+                )
             return logits, kv
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -135,11 +145,18 @@ class Engine:
         ):
             def body(carry, step_key):
                 tok, cache, bp, cp = carry
-                emb = params["llama"]["embed"]["embedding"][tok][:, None, :].astype(dtype)
-                logits, cache = llama_decode_step(
-                    params["llama"], cfg_.llama, cache, emb, bp,
-                    positions=cp, key_mask=key_mask,
-                )
+                emb = params[dec_key]["embed"]["embedding"][tok][:, None, :].astype(dtype)
+                if is_mpt:
+                    from gpt4roi_tpu.models.mpt import mpt_decode_step
+
+                    logits, cache = mpt_decode_step(
+                        params["mpt"], cfg_.mpt, cache, emb, bp, key_mask=key_mask
+                    )
+                else:
+                    logits, cache = llama_decode_step(
+                        params["llama"], cfg_.llama, cache, emb, bp,
+                        positions=cp, key_mask=key_mask,
+                    )
                 greedy = jnp.argmax(logits, axis=-1)
                 scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
                 sampled = jax.random.categorical(step_key, scaled, axis=-1)
@@ -161,7 +178,7 @@ class Engine:
             """Incremental prefill over ids[start:start+frag_len] with the
             image/SPI banks spliced by full-sequence masks (prefix-cache
             serving: vision encode + past rounds' KV are reused)."""
-            embeds = params["llama"]["embed"]["embedding"][input_ids].astype(dtype)
+            embeds = params[dec_key]["embed"]["embedding"][input_ids].astype(dtype)
             embeds = masked_scatter_embeds(
                 embeds, input_ids == cfg_.im_patch_token_id, image_feats
             )
@@ -171,7 +188,12 @@ class Engine:
             frag = jax.lax.dynamic_slice(
                 embeds, (0, start, 0), (embeds.shape[0], frag_len, embeds.shape[2])
             )
-            logits, cache = llama_extend(params["llama"], cfg_.llama, cache, frag, start)
+            if is_mpt:
+                from gpt4roi_tpu.models.mpt import mpt_extend
+
+                logits, cache = mpt_extend(params["mpt"], cfg_.mpt, cache, frag, start)
+            else:
+                logits, cache = llama_extend(params["llama"], cfg_.llama, cache, frag, start)
             return logits, cache
 
         self._prefill = prefill_fn
@@ -201,7 +223,6 @@ class Engine:
         the batched-serving throughput lever (decode amortises the weight
         reads across the batch); the reference serves strictly one request
         per generate call."""
-        assert self.cfg.decoder_type == "llama", "ragged batching is LLaMA-only for now"
         b = len(prompts)
         lengths = np.asarray([len(p) for p in prompts], np.int32)
         bucket = _round_up(int(lengths.max()), self.ecfg.prefill_bucket)
@@ -290,7 +311,6 @@ class Engine:
         return self.cfg.llama
 
     def cached_session(self) -> "CachedSession":
-        assert self.cfg.decoder_type == "llama", "prefix-cache sessions are LLaMA-only for now"
         return CachedSession(self)
 
     def generate(
@@ -424,7 +444,7 @@ class CachedSession:
     def _ensure_cache(self) -> None:
         if self.cache is None:
             self.cache = init_kv_cache(
-                self.engine.cfg.llama, 1, self.max_len, dtype=self.engine.ecfg.compute_dtype
+                self.engine.kv_config(), 1, self.max_len, dtype=self.engine.ecfg.compute_dtype
             )
 
     def append_and_generate(

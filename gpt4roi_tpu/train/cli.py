@@ -45,6 +45,20 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--tiny_model", action="store_true", help="debug: tiny config")
     p.add_argument("--max_steps", type=int, default=0, help="debug: stop early")
     p.add_argument(
+        "--version",
+        default="v0",
+        choices=["v0", "v1", "vicuna_v1_1", "mpt"],
+        help="conversation template / preprocessing style (reference: "
+        "train.py:589-607 — v0 SINGLE, v1 vicuna TWO, mpt ChatML)",
+    )
+    p.add_argument(
+        "--decoder",
+        default="llama",
+        choices=["llama", "mpt"],
+        help="decoder family (reference selects MPT when the model path "
+        "contains 'mpt', train.py:547-551)",
+    )
+    p.add_argument(
         "--packing",
         action="store_true",
         help="pack multiple samples per row (segment-masked attention); "
@@ -87,6 +101,15 @@ def main(argv=None) -> None:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     os.makedirs(args.output_dir, exist_ok=True)
+
+    # conversation template selection (reference train.py:589-607: v0 keeps
+    # the default; otherwise mpt/vicuna template by model family)
+    from gpt4roi_tpu.data import conversation as conversation_lib
+
+    if args.version != "v0":
+        key_ = "mpt" if (args.decoder == "mpt" or args.version == "mpt") else "vicuna_v1_1"
+        conversation_lib.default_conversation = conversation_lib.conv_templates[key_]
+
     mesh = make_mesh()
     n_dev = mesh.devices.size
     global_batch = args.per_device_batch_size * n_dev
@@ -98,6 +121,14 @@ def main(argv=None) -> None:
         tokenizer = ToyTokenizer(model_max_length=args.model_max_length)
         tokenizer.convert_tokens_to_ids(SPECIAL_TOKENS)
         cfg = Gpt4RoiConfig.tiny(vocab_size=512)
+        if args.decoder == "mpt":
+            import dataclasses
+
+            from gpt4roi_tpu.models.mpt import MptConfig
+
+            cfg = dataclasses.replace(
+                cfg, decoder_type="mpt", mpt=MptConfig.tiny(vocab_size=512)
+            )
     else:
         tokenizer = build_tokenizer(args.model_name_or_path, args.model_max_length)
         ids = tokenizer.convert_tokens_to_ids(SPECIAL_TOKENS)
@@ -113,6 +144,13 @@ def main(argv=None) -> None:
             im_start_token_id=ids[3],
             im_end_token_id=ids[4],
         )
+        if args.decoder == "mpt":
+            from gpt4roi_tpu.models.mpt import MptConfig
+
+            cfg = dataclasses.replace(
+                cfg, decoder_type="mpt",
+                mpt=MptConfig.mpt_7b(vocab_size=len(tokenizer)),
+            )
 
     # --- params -----------------------------------------------------------
     key = jax.random.PRNGKey(args.seed)

@@ -75,7 +75,9 @@ def kernel_parity():
     want = np.asarray(x, np.float32) @ deq[:, :11008]
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     print(f"kernel parity rel err: {rel:.2e}")
-    assert rel < 1e-2, rel
+    # w8a8 adds per-token int8 activation error on top of the weight error
+    tol = 3e-2 if os.environ.get("GPT4ROI_QMM") == "w8a8" else 1e-2
+    assert rel < tol, rel
 
 
 def main():

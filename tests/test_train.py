@@ -160,3 +160,33 @@ def test_param_labels(tiny):
     labs2 = param_labels(params, "stage2")
     assert set(jax.tree_util.tree_leaves(labs2["llama"])) == {"train"}
     assert set(jax.tree_util.tree_leaves(labs2["clip"])) == {"frozen"}
+
+
+def test_mpt_train_step(rng):
+    """MPT-decoder training path (VERDICT r1 item 5): one stage-2 step with
+    decoder_type='mpt' — finite loss, mpt weights move, clip frozen."""
+    import dataclasses
+
+    from gpt4roi_tpu.models.mpt import MptConfig
+
+    cfg = dataclasses.replace(
+        Gpt4RoiConfig.tiny(), decoder_type="mpt", mpt=MptConfig.tiny(vocab_size=128)
+    )
+    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg)
+    assert "mpt" in params and "llama" not in params
+    tcfg = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=10, warmup_steps=0)
+    tx = make_optimizer(tcfg, params)
+    state = create_train_state(params, tcfg)
+    step = make_train_step(cfg, tcfg, tx, compute_dtype=jnp.float32)
+    batch = batch_dict(cfg, rng)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    def max_delta(a, b):
+        return max(
+            float(jnp.abs(x - y).max())
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    assert max_delta(new_state.params["mpt"], params["mpt"]) > 0
+    assert max_delta(new_state.params["clip"], params["clip"]) == 0
