@@ -87,50 +87,90 @@ def cli_chat(session) -> None:
         print(session.ask(line))
 
 
+def extract_sketch_boxes(editor_value) -> list:
+    """Boxes (pixel xyxy, draw order) from a gradio ImageEditor payload:
+    prefer per-stroke layers; fall back to connected components of the
+    composite (background-subtracted) mask. Headless — exercised by
+    tests/test_sketch.py without gradio."""
+    from gpt4roi_tpu.serve.sketch import layers_to_boxes, mask_to_boxes
+
+    layers = editor_value.get("layers") or []
+    boxes = layers_to_boxes([np.asarray(l) for l in layers])
+    if boxes:
+        return boxes
+    comp = editor_value.get("composite")
+    bg = editor_value.get("background")
+    if comp is None:
+        return []
+    comp = np.asarray(comp)
+    if bg is not None:
+        diff = np.abs(comp[..., :3].astype(np.int16) - np.asarray(bg)[..., :3].astype(np.int16))
+        return mask_to_boxes(diff.max(axis=2) > 16)
+    return mask_to_boxes(comp)
+
+
 def gradio_app(session):  # pragma: no cover - requires gradio
+    """Draw-a-box chat (reference gpt4roi/app.py:395-473): upload an image,
+    sketch boxes on it, reference them as <region1>, <region2>, ... —
+    region indices are global across chat rounds."""
     import gradio as gr
 
     from gpt4roi_tpu.serve.chat import visualize_regions
+    from gpt4roi_tpu.serve.sketch import SketchRounds
 
-    state = {"img": None}
+    state = {"img": None, "rounds": SketchRounds()}
 
-    def on_image(img):
-        state["img"] = np.asarray(img)
-        session.reset()
-        session.set_image(state["img"])
-        return "image loaded - draw boxes then ask about <region1>, <region2>, ..."
-
-    def on_box(x1, y1, x2, y2):
-        session.add_boxes([[x1, y1, x2, y2]], state["img"].shape[:2])
-        boxes_px = [
-            [b[0] * state["img"].shape[1], b[1] * state["img"].shape[0],
-             b[2] * state["img"].shape[1], b[3] * state["img"].shape[0]]
-            for b in session.boxes
-        ]
-        return visualize_regions(state["img"], boxes_px)
-
-    def on_ask(text, history):
-        err = session.check_input(text, 0)
+    def on_ask(editor_value, text, history):
+        img = editor_value.get("background") if isinstance(editor_value, dict) else editor_value
+        if img is None:
+            return history + [[text, "Please upload an image first."]], None
+        img = np.asarray(img)[..., :3]
+        if state["img"] is None or img.shape != state["img"].shape or (img != state["img"]).any():
+            state["img"] = img
+            state["rounds"].reset()
+            session.reset()
+            session.set_image(img)
+        all_boxes = extract_sketch_boxes(editor_value if isinstance(editor_value, dict) else {})
+        err = state["rounds"].validate(text, all_boxes)
+        if err is not None:
+            return history + [[text, err]], None
+        new = state["rounds"].new_boxes(all_boxes)
+        if new:
+            session.add_boxes(new, img.shape[:2])
+        state["rounds"].commit(all_boxes)
+        overlay = visualize_regions(img, all_boxes)
+        err = session.check_input(text, len(new))
         if err:
-            return history + [[text, err]]
-        return history + [[text, session.ask(text)]]
+            return history + [[text, err]], overlay
+        return history + [[text, session.ask(text)]], overlay
+
+    def on_clear():
+        state["img"] = None
+        state["rounds"].reset()
+        session.reset()
+        return None, [], None
 
     with gr.Blocks(title="GPT4RoI-TPU") as demo:
-        gr.Markdown("## GPT4RoI-TPU — region-level chat")
+        gr.Markdown(
+            "## GPT4RoI-TPU — region-level chat\n"
+            "Upload an image, **draw boxes** on it, then ask about "
+            "`<region1>`, `<region2>`, ... (indices follow drawing order "
+            "across all rounds)."
+        )
         with gr.Row():
-            img_in = gr.Image(label="image")
+            editor = gr.ImageEditor(
+                label="image (draw the boxes here)", type="numpy",
+                brush=gr.Brush(default_size=6),
+            )
             img_vis = gr.Image(label="regions")
-        status = gr.Textbox(label="status")
-        with gr.Row():
-            x1 = gr.Number(label="x1"); y1 = gr.Number(label="y1")
-            x2 = gr.Number(label="x2"); y2 = gr.Number(label="y2")
-            add = gr.Button("add region")
         chat = gr.Chatbot()
-        txt = gr.Textbox(label="message")
-        img_in.change(on_image, img_in, status)
-        add.click(on_box, [x1, y1, x2, y2], img_vis)
-        txt.submit(on_ask, [txt, chat], chat)
-    demo.launch(server_name="0.0.0.0")
+        txt = gr.Textbox(label="message", placeholder="What is <region1> doing?")
+        clear = gr.Button("Clear All")
+        txt.submit(on_ask, [editor, txt, chat], [chat, img_vis]).then(
+            lambda: "", None, txt
+        )
+        clear.click(on_clear, None, [editor, chat, img_vis])
+    demo.queue().launch(server_name="0.0.0.0")
 
 
 def main() -> None:
