@@ -45,6 +45,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--tiny_model", action="store_true", help="debug: tiny config")
     p.add_argument("--max_steps", type=int, default=0, help="debug: stop early")
     p.add_argument(
+        "--optimizer",
+        default="adamw",
+        choices=["adamw", "adamw8bit"],
+        help="adamw8bit stores Adam moments as blockwise int8 (~4x less "
+        "optimizer memory — the reference's bitsandbytes/low-mem branch, "
+        "llava_trainer.py:133-157)",
+    )
+    p.add_argument(
         "--version",
         default="v0",
         choices=["v0", "v1", "vicuna_v1_1", "mpt"],
@@ -207,6 +215,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps,
         warmup_ratio=args.warmup_ratio,
         total_steps=total_steps,
+        optimizer=args.optimizer,
     )
     compute_dtype = jnp.bfloat16 if args.bf16 and jax.default_backend() == "tpu" else jnp.float32
     jit_step, init_state, _ = make_sharded_train_step(

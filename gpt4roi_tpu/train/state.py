@@ -38,6 +38,9 @@ class TrainConfig:
     eps: float = 1e-8
     grad_clip: float = 1.0
     min_lr_ratio: float = 0.0
+    # 'adamw' or 'adamw8bit' (blockwise int8 moments — the reference's
+    # bitsandbytes Adam8bit / low-memory branch, llava_trainer.py:133-157)
+    optimizer: str = "adamw"
 
 
 def param_labels(params: Any, stage: str) -> Any:
@@ -84,17 +87,23 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
     schedule = lr_schedule(cfg)
 
     def adamw(wd: float) -> optax.GradientTransformation:
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(
+        if cfg.optimizer == "adamw8bit":
+            from gpt4roi_tpu.train.optim8bit import adamw_8bit
+
+            inner = adamw_8bit(
+                schedule, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                weight_decay=wd, mask=_decay_mask if wd > 0 else None,
+            )
+        else:
+            inner = optax.adamw(
                 schedule,
                 b1=cfg.b1,
                 b2=cfg.b2,
                 eps=cfg.eps,
                 weight_decay=wd,
                 mask=_decay_mask if wd > 0 else None,
-            ),
-        )
+            )
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), inner)
 
     labels = param_labels(params, cfg.stage)
     return optax.multi_transform(

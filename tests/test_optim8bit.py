@@ -1,0 +1,128 @@
+"""8-bit AdamW (VERDICT r1 item 7; reference low-mem branch:
+gpt4roi/train/llava_trainer.py:133-157): moment-state bytes drop ~4x on
+eligible tensors, embeddings/small tensors stay fp32, and short loss
+trajectories track fp32 AdamW within noise."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpt4roi_tpu.train.optim8bit import (
+    _QMoment,
+    adamw_8bit,
+    opt_state_bytes,
+    scale_by_adam_8bit,
+)
+
+
+def make_params(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "embed": {"embedding": jax.random.normal(k1, (128, 64)) * 0.02},
+        "dense": {"kernel": jax.random.normal(k2, (128, 64)) * 0.1},
+        "norm": {"scale": jnp.ones((64,))},
+        "small": {"kernel": jax.random.normal(k3, (8, 8)) * 0.1},
+    }
+
+
+def test_eligibility_and_bytes():
+    params = make_params(jax.random.PRNGKey(0))
+    tx = scale_by_adam_8bit(min_quant_size=4096)
+    st = tx.init(params)
+    # dense.kernel (8192 el) quantized; embedding excluded by name; norm
+    # (1-D) and small (64 el) excluded by shape/size
+    assert isinstance(st.mu["dense"]["kernel"], _QMoment)
+    assert st.mu["dense"]["kernel"].q.dtype == jnp.int8
+    assert not isinstance(st.mu["embed"]["embedding"], _QMoment)
+    assert not isinstance(st.mu["norm"]["scale"], _QMoment)
+    assert not isinstance(st.mu["small"]["kernel"], _QMoment)
+
+    # bytes on the quantized leaf: 2 moments x (1 B + 4/256 B scale) vs 8 B
+    n = params["dense"]["kernel"].size
+    q_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves((st.mu["dense"], st.nu["dense"]))
+    )
+    assert q_bytes <= n * 2.1
+    full = tx_bytes_fp32(params["dense"])
+    assert full / q_bytes >= 3.8
+
+
+def tx_bytes_fp32(params):
+    tx = optax.scale_by_adam()
+    return opt_state_bytes(tx.init(params)) - 4  # minus count scalar
+
+
+def test_step_matches_fp32_adam_early():
+    """First step: moments start at 0 so quantization error is just the
+    int8 rounding of the fresh moment — updates must be ~identical."""
+    params = make_params(jax.random.PRNGKey(0))
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 0.01, params)
+    tx8 = adamw_8bit(1e-3)
+    txf = optax.adamw(1e-3)
+    s8, sf = tx8.init(params), txf.init(params)
+    u8, _ = tx8.update(grads, s8, params)
+    uf, _ = txf.update(grads, sf, params)
+    for a, b in zip(jax.tree_util.tree_leaves(u8), jax.tree_util.tree_leaves(uf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.02, atol=1e-6)
+
+
+def test_loss_trajectory_tracks_fp32():
+    """20 steps on a tiny least-squares problem: 8-bit trajectory stays
+    within a few percent of fp32 AdamW."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+    w_true = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    y = x @ w_true
+
+    def loss_fn(params):
+        pred = x @ params["dense"]["kernel"]
+        return jnp.mean((pred - y) ** 2)
+
+    def run(tx):
+        params = {"dense": {"kernel": jnp.zeros((64, 32), jnp.float32)}}
+        st = tx.init(params)
+        losses = []
+        for _ in range(20):
+            l, g = jax.value_and_grad(loss_fn)(params)
+            upd, st = tx.update(g, st, params)
+            params = optax.apply_updates(params, upd)
+            losses.append(float(l))
+        return np.asarray(losses)
+
+    l8 = run(adamw_8bit(0.05, min_quant_size=1024))
+    lf = run(optax.adamw(0.05))
+    assert l8[-1] < l8[0] * 0.5  # actually optimizes
+    # drift vs fp32 grows ~0.3%/step from moment quantization (measured
+    # 5.3% at step 20) — the same "slightly slower, same trajectory"
+    # profile bitsandbytes reports
+    np.testing.assert_allclose(l8, lf, rtol=0.08)
+
+
+def test_full_train_state_integration():
+    """TrainConfig(optimizer='adamw8bit') drops total opt-state bytes and
+    still trains the tiny GPT4RoI model."""
+    from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
+    from gpt4roi_tpu.train.loop import make_train_step
+    from gpt4roi_tpu.train.state import TrainConfig, create_train_state, make_optimizer
+    from tests.test_train import batch_dict
+
+    cfg = Gpt4RoiConfig.tiny()
+    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg)
+    t8 = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=10,
+                     warmup_steps=0, optimizer="adamw8bit")
+    tf = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=10, warmup_steps=0)
+    s8 = create_train_state(params, t8)
+    sf = create_train_state(params, tf)
+    b8 = opt_state_bytes(s8.opt_state)
+    bf = opt_state_bytes(sf.opt_state)
+    assert b8 < bf * 0.45  # tiny model has many small/excluded leaves;
+    # the big kernels dominate enough for >2.2x overall
+
+    rng = np.random.default_rng(0)
+    step = make_train_step(cfg, t8, make_optimizer(t8, params), compute_dtype=jnp.float32)
+    new_state, metrics = step(s8, batch_dict(cfg, rng))
+    assert np.isfinite(float(metrics["loss"]))
