@@ -119,6 +119,18 @@ def make_openai_judge(model: str = "gpt-4", temperature: float = 0.2):  # pragma
     return judge
 
 
+def default_rules() -> Dict[str, Dict]:
+    """Bundled reviewer rule table (reference: llava/eval/table/rule.json +
+    prompt.jsonl/reviewer.jsonl — the visual-QA categories conv/detail/
+    complex use the visual judge prompt, coding/math their specialist
+    prompts, everything else the general prompt)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "table", "rule.json")
+    with open(path) as f:
+        return json.load(f)
+
+
 def load_jsonl(path: str) -> List[Dict]:
     with open(path) as f:
         return [json.loads(l) for l in f if l.strip()]

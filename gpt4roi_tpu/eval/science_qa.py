@@ -1,0 +1,116 @@
+"""ScienceQA end-to-end scoring (reference: llava/eval/eval_science_qa.py).
+
+Consumes the ScienceQA release layout (``problems.json`` +
+``pid_splits.json``) and a predictions jsonl (one ``{question_id, prompt,
+text}`` per line), reproducing the reference's grading semantics exactly:
+
+  * strict answer extraction via ``The answer is ([A-Z]).`` — one match or
+    the prediction counts as FAILED (eval_science_qa.py:60-66);
+  * FAILED / out-of-range letters fall back to a RANDOM choice among the
+    problem's options (eval_science_qa.py:29-35) — seedable here so tests
+    and reruns are deterministic;
+  * per-problem analysis records with the multimodal flag, and the
+    ``sqa_results`` summary dict (acc/correct/count/results/outputs).
+
+Usage:
+  python -m gpt4roi_tpu.eval.science_qa --base-dir <sqa> \
+      --result-file preds.jsonl --output-file out.json --output-result res.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import re
+from typing import Dict, List, Optional, Sequence
+
+OPTIONS = ["A", "B", "C", "D", "E"]
+_ANSWER_RE = re.compile(r"The answer is ([A-Z]).")
+
+
+def extract_answer(pred_text: str) -> str:
+    """Strict reference extraction: exactly one 'The answer is X.' match."""
+    res = _ANSWER_RE.findall(pred_text)
+    return res[0] if len(res) == 1 else "FAILED"
+
+
+def pred_index(
+    answer: str, choices: Sequence, options: Sequence[str] = OPTIONS,
+    rng: Optional[random.Random] = None,
+) -> int:
+    """Letter -> index, falling back to a random valid choice (the
+    reference's get_pred_idx)."""
+    if answer in list(options[: len(choices)]):
+        return list(options).index(answer)
+    return (rng or random).choice(range(len(choices)))
+
+
+def score_sciqa(
+    problems: Dict[str, Dict],
+    split_indices: List[str],
+    predictions: Dict[str, Dict],
+    options: Sequence[str] = OPTIONS,
+    seed: Optional[int] = None,
+) -> Dict:
+    rng = random.Random(seed) if seed is not None else None
+    results = {"correct": [], "incorrect": []}
+    sqa = {"acc": None, "correct": None, "count": None, "results": {}, "outputs": {}}
+    for prob_id in split_indices:
+        prob = problems[prob_id]
+        if prob_id not in predictions:
+            continue
+        pred = predictions[prob_id]
+        answer = extract_answer(pred["text"])
+        idx = pred_index(answer, prob["choices"], options, rng)
+        analysis = {
+            "question_id": prob_id,
+            "parsed_ans": answer,
+            "ground_truth": options[prob["answer"]],
+            "question": pred.get("prompt", ""),
+            "pred": pred["text"],
+            "is_multimodal": "<image>" in pred.get("prompt", ""),
+        }
+        sqa["results"][prob_id] = pred_index(answer, prob["choices"], options, rng)
+        sqa["outputs"][prob_id] = pred["text"]
+        (results["correct"] if idx == prob["answer"] else results["incorrect"]).append(analysis)
+
+    correct = len(results["correct"])
+    total = correct + len(results["incorrect"])
+    sqa["acc"] = correct / total * 100 if total else 0.0
+    sqa["correct"] = correct
+    sqa["count"] = total
+    return {"results": results, "sqa_results": sqa}
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--base-dir", required=True)
+    p.add_argument("--result-file", required=True)
+    p.add_argument("--output-file", required=True)
+    p.add_argument("--output-result", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+
+    split_indices = json.load(open(os.path.join(args.base_dir, "pid_splits.json")))[args.split]
+    problems = json.load(open(os.path.join(args.base_dir, "problems.json")))
+    predictions = {}
+    with open(args.result_file) as f:
+        for line in f:
+            if line.strip():
+                d = json.loads(line)
+                predictions[str(d["question_id"])] = d
+
+    out = score_sciqa(problems, split_indices, predictions, seed=args.seed)
+    sqa = out["sqa_results"]
+    print(f"Total: {sqa['count']}, Correct: {sqa['correct']}, Accuracy: {sqa['acc']:.2f}%")
+    with open(args.output_file, "w") as f:
+        json.dump(out["results"], f, indent=2)
+    with open(args.output_result, "w") as f:
+        json.dump(sqa, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,99 @@ def test_http_fleet_end_to_end():
         controller.shutdown()
         chttpd.shutdown()
         whttpd.shutdown()
+
+
+def _start_fleet(dispatch_method, speeds):
+    """Controller + N real HTTP workers (slow streaming gen so requests
+    overlap); returns (curl, workers, httpds, counts)."""
+    controller, chttpd = serve(host="127.0.0.1", port=0)
+    controller.dispatch_method = dispatch_method
+    cport = chttpd.server_address[1]
+    threading.Thread(target=chttpd.serve_forever, daemon=True).start()
+    curl = f"http://127.0.0.1:{cport}"
+
+    workers, httpds, counts = [], [chttpd], {}
+
+    def make_gen(name):
+        def gen(params):
+            counts[name] = counts.get(name, 0) + 1
+            text = ""
+            for w in ["a", "b", "c"]:
+                time.sleep(0.02)  # keep requests in flight so queues build
+                text += w
+                yield text
+
+        return gen
+
+    for i, speed in enumerate(speeds):
+        name = f"w{i}"
+        worker = ModelWorker(curl, "http://127.0.0.1:0", "m", make_gen(name),
+                             heart_beat=False, speed=speed)
+        whttpd = serve_worker(worker, host="127.0.0.1", port=0)
+        worker.worker_url = f"http://127.0.0.1:{whttpd.server_address[1]}"
+        worker.register()
+        threading.Thread(target=whttpd.serve_forever, daemon=True).start()
+        workers.append(worker)
+        httpds.append(whttpd)
+    return controller, curl, workers, httpds, counts
+
+
+def _fire_concurrent(curl, n):
+    """n concurrent controller-resolved streaming requests."""
+    from gpt4roi_tpu.serve.client import generate_stream, get_worker
+
+    results = [None] * n
+
+    def one(i):
+        addr = get_worker(curl, "m")
+        results[i] = (addr, list(generate_stream(addr, f"q{i}")))
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results
+
+
+@pytest.mark.parametrize("dispatch_method", ["shortest_queue", "lottery"])
+def test_dispatch_policies_under_concurrent_load(dispatch_method):
+    """VERDICT r1 item 10 (reference: llava/serve/controller.py:121-171):
+    both policies routing 12 queued concurrent requests over 2 real HTTP
+    workers — every request completes, and both workers serve traffic."""
+    controller, curl, workers, httpds, counts = _start_fleet(
+        dispatch_method, speeds=[1.0, 1.0]
+    )
+    try:
+        results = _fire_concurrent(curl, 12)
+        assert all(r is not None and r[1] == ["a", "ab", "abc"] for r in results)
+        served = sum(counts.values())
+        assert served == 12
+        # with equal speeds both policies must spread load across workers
+        assert len(counts) == 2, counts
+        if dispatch_method == "shortest_queue":
+            # queue-aware balancing: near-even split
+            assert min(counts.values()) >= 3, counts
+    finally:
+        for w in workers:
+            w.shutdown()
+        controller.shutdown()
+        for h in httpds:
+            h.shutdown()
+
+
+def test_lottery_speed_weighting_under_load():
+    """Lottery dispatch respects the speed weights through the HTTP path."""
+    controller, curl, workers, httpds, counts = _start_fleet(
+        "lottery", speeds=[9.0, 1.0]
+    )
+    try:
+        _fire_concurrent(curl, 20)
+        assert sum(counts.values()) == 20
+        assert counts.get("w0", 0) > counts.get("w1", 0), counts
+    finally:
+        for w in workers:
+            w.shutdown()
+        controller.shutdown()
+        for h in httpds:
+            h.shutdown()
