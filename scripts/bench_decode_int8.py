@@ -40,22 +40,26 @@ def init_llama_params_q(key, cfg: LlamaConfig, dtype=jnp.bfloat16):
             scale = scale.at[o:].set(0.0)
         return QuantDense(q, scale.reshape(1, -1), o)
 
+    fuse = os.environ.get("GPT4ROI_QMM_FUSE", "1") == "1"
     layers = []
     for li in range(cfg.num_layers):
         ks = jax.random.split(keys[2 + li], 7)
-        layers.append(
-            {
-                "attn_norm": {"scale": jnp.ones((d,), dtype)},
-                "q": qdense(ks[0], d, d),
-                "k": qdense(ks[1], d, kvd),
-                "v": qdense(ks[2], d, kvd),
-                "o": qdense(ks[3], d, d),
-                "mlp_norm": {"scale": jnp.ones((d,), dtype)},
-                "gate": qdense(ks[4], d, m),
-                "up": qdense(ks[5], d, m),
-                "down": qdense(ks[6], m, d),
-            }
-        )
+        lp = {
+            "attn_norm": {"scale": jnp.ones((d,), dtype)},
+            "o": qdense(ks[3], d, d),
+            "mlp_norm": {"scale": jnp.ones((d,), dtype)},
+            "down": qdense(ks[6], m, d),
+        }
+        if fuse:
+            lp["qkv"] = qdense(ks[0], d, d + 2 * kvd)
+            lp["gate_up"] = qdense(ks[4], d, 2 * m)
+        else:
+            lp.update(
+                q=qdense(ks[0], d, d), k=qdense(ks[1], d, kvd),
+                v=qdense(ks[2], d, kvd),
+                gate=qdense(ks[4], d, m), up=qdense(ks[5], d, m),
+            )
+        layers.append(lp)
     return {
         "embed": {"embedding": jax.random.normal(keys[0], (v, d), dtype) * 0.02},
         "layers": layers,

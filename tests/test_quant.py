@@ -54,9 +54,20 @@ def test_quantized_decode_logits_and_greedy_agreement(rng):
     cfg = LlamaConfig.tiny(vocab_size=64)
     params = init_llama_params(jax.random.PRNGKey(3), cfg)
     qparams = quantize_llama_params(params)
-    assert qparams["layers"][0]["q"]["kernel_q"].dtype == jnp.int8
+    # fused q|k|v and gate|up layout (decode is weight-bound: fewer,
+    # larger weight streams)
+    assert qparams["layers"][0]["qkv"]["kernel_q"].dtype == jnp.int8
+    assert qparams["layers"][0]["gate_up"]["kernel_q"].dtype == jnp.int8
     # norms untouched
     assert "scale" in qparams["layers"][0]["attn_norm"]
+
+    # unfused layout stays available and exactly matches the fused one
+    qp_unfused = quantize_llama_params(params, fuse_proj=False)
+    assert qp_unfused["layers"][0]["q"]["kernel_q"].dtype == jnp.int8
+    ids0 = jnp.asarray(rng.integers(1, 64, (1, 6)).astype(np.int32))
+    lf, _, _ = llama_forward(qparams, cfg, input_ids=ids0)
+    lu, _, _ = llama_forward(qp_unfused, cfg, input_ids=ids0)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), rtol=2e-5, atol=2e-5)
 
     ids = jnp.asarray(rng.integers(1, 64, (2, 12)).astype(np.int32))
     logits_f, _, kv_f = llama_forward(params, cfg, input_ids=ids, return_kv=True)
@@ -94,3 +105,57 @@ def test_quantized_decode_logits_and_greedy_agreement(rng):
     _, ranks_q = greedy_path(qparams, kv_q, follow=toks_f)
     assert (ranks_q <= 2).mean() >= 0.9, ranks_q
     assert ranks_q.mean() < 1.0, ranks_q
+
+
+def test_int8_engine_serving_smoke(rng):
+    """EngineConfig(quantize='int8'): quantized serving engine produces a
+    deterministic, valid generation end-to-end (prefill + ragged decode)."""
+    from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
+    from gpt4roi_tpu.ops import quant as quant_mod
+    from gpt4roi_tpu.serve.engine import Engine, EngineConfig
+    from tests.test_gpt4roi import make_batch
+
+    cfg = Gpt4RoiConfig.tiny()
+    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg)
+    ids, images, boxes, mask = make_batch(cfg, rng, b=1, s=24)
+    try:
+        eng = Engine(params, cfg, EngineConfig(max_seq_len=64, prefill_bucket=32, quantize="int8"))
+        assert "kernel_q" in eng.params["llama"]["layers"][0]["qkv"]
+        out1 = eng.generate(ids, images, boxes, mask, max_new_tokens=4, temperature=0.0)
+        out2 = eng.generate(ids, images, boxes, mask, max_new_tokens=4, temperature=0.0)
+    finally:
+        quant_mod._DEFAULT_MODE = None
+    assert out1 == out2
+    assert all(0 <= t < cfg.llama.vocab_size for t in out1[0])
+    assert len(out1[0]) == 4
+
+
+def test_stacked_decode_matches_unrolled(rng):
+    """lax.scan-over-layers decode (compile-time lever for 7B serving)
+    must match the unrolled step bit-for-bit on both quantized and plain
+    params."""
+    from gpt4roi_tpu.models.llama import (
+        llama_decode_step_stacked,
+        stack_decode_layers,
+    )
+
+    cfg = LlamaConfig.tiny(vocab_size=64)
+    for make in (lambda p: p, quantize_llama_params):
+        params = make(init_llama_params(jax.random.PRNGKey(3), cfg))
+        ids = jnp.asarray(rng.integers(1, 64, (2, 12)).astype(np.int32))
+        _, _, kv = llama_forward(params, cfg, input_ids=ids, return_kv=True)
+        cache = write_prefill_kv(init_kv_cache(cfg, 2, 32, jnp.float32), kv)
+        emb = params["embed"]["embedding"][jnp.asarray([3, 9])][:, None, :]
+        clen = jnp.asarray(12)
+
+        want, want_cache = llama_decode_step(params, cfg, cache, emb, clen)
+
+        sp = dict(params)
+        sp["layers_stacked"] = stack_decode_layers(params["layers"])
+        ck = jnp.stack(cache.k)
+        cv = jnp.stack(cache.v)
+        got, nk, nv = llama_decode_step_stacked(sp, cfg, ck, cv, emb, clen)
+        # scan vs unrolled lowering reassociates fp ops (~1e-6); same math
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(nk), np.stack([np.asarray(x) for x in want_cache.k]), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(nv), np.stack([np.asarray(x) for x in want_cache.v]), rtol=1e-5, atol=1e-5)
