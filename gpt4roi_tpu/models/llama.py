@@ -227,7 +227,7 @@ def llama_forward(
 
     x = inputs_embeds
     kv_out: List[Tuple[jax.Array, jax.Array]] = []
-    for lp in params["layers"]:
+    for lp in layer_params_list(params):
         x, kv = layer_fn(x, lp)
         if return_kv:
             kv_out.append(kv)
@@ -255,7 +255,7 @@ def llama_decode_step(
     cos, sin = rope_tables(cfg, rope_pos[:, None])  # (B, 1, hd)
     x = token_embeds
     new_k, new_v = [], []
-    for li, lp in enumerate(params["layers"]):
+    for li, lp in enumerate(layer_params_list(params)):
         y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
         q, k, v = _qkv_proj(lp, y, nh, nkv, hd)
         q = q.reshape(b, 1, nh, hd)
@@ -285,6 +285,27 @@ def stack_decode_layers(layers: List[Params]) -> Params:
     plain kernels and QuantDense leaves alike — QuantDense is a pytree
     node with identical aux across layers)."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def to_stacked_params(params: Params) -> Params:
+    """Replace the per-layer list with one stacked tree (serving layout:
+    scan-over-layers decode compiles in seconds instead of minutes)."""
+    if "layers_stacked" in params:
+        return params
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers_stacked"] = stack_decode_layers(params["layers"])
+    return out
+
+
+def layer_params_list(params: Params) -> List[Params]:
+    """Per-layer param trees from either layout. Slicing a stacked tree
+    under jit is a view, not a copy — the unrolled forward/extend paths
+    work unchanged on stacked params."""
+    if "layers" in params:
+        return params["layers"]
+    st = params["layers_stacked"]
+    num = jax.tree_util.tree_leaves(st)[0].shape[0]
+    return [jax.tree_util.tree_map(lambda a: a[i], st) for i in range(num)]
 
 
 def llama_decode_step_stacked(
@@ -374,7 +395,7 @@ def llama_extend(
 
     x = new_embeds
     new_k, new_v = [], []
-    for li, lp in enumerate(params["layers"]):
+    for li, lp in enumerate(layer_params_list(params)):
         y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
         q = _proj(lp["q"], y).reshape(b, t, nh, hd)
         k = _proj(lp["k"], y).reshape(b, t, nkv, hd)
@@ -409,3 +430,39 @@ def write_prefill_kv(cache: KVCache, kv: List[Tuple[jax.Array, jax.Array]]) -> K
         new_k.append(cache.k[li].at[:, :s].set(k.astype(cache.k[li].dtype)))
         new_v.append(cache.v[li].at[:, :s].set(v.astype(cache.v[li].dtype)))
     return KVCache(k=new_k, v=new_v)
+
+
+def init_stacked_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def write_prefill_kv_stacked(
+    ck: jax.Array, cv: jax.Array, kv: List[Tuple[jax.Array, jax.Array]]
+) -> Tuple[jax.Array, jax.Array]:
+    """Prefill K/V into stacked (L, B, S_max, N, D) buffers."""
+    ks = jnp.stack([k for k, _ in kv])
+    vs = jnp.stack([v for _, v in kv])
+    s = ks.shape[2]
+    return (
+        ck.at[:, :, :s].set(ks.astype(ck.dtype)),
+        cv.at[:, :, :s].set(vs.astype(cv.dtype)),
+    )
+
+
+def llama_extend_stacked(
+    params: Params,
+    cfg: LlamaConfig,
+    ck: jax.Array,  # (L, B, S_max, N, D)
+    cv: jax.Array,
+    new_embeds: jax.Array,
+    start: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """llama_extend over stacked cache buffers (prefix-cache sessions in
+    the stacked serving layout). The per-layer unrolled extend runs on
+    sliced views; outputs restack once (one cache-sized copy per chat
+    round — negligible against the extend itself)."""
+    num = ck.shape[0]
+    cache = KVCache(k=[ck[i] for i in range(num)], v=[cv[i] for i in range(num)])
+    logits, new_cache = llama_extend(params, cfg, cache, new_embeds, start)
+    return logits, jnp.stack(new_cache.k), jnp.stack(new_cache.v)

@@ -31,10 +31,15 @@ from gpt4roi_tpu.models.gpt4roi import (
 from gpt4roi_tpu.models.llama import (
     KVCache,
     init_kv_cache,
+    init_stacked_cache,
     llama_decode_step,
+    llama_decode_step_stacked,
     llama_extend,
+    llama_extend_stacked,
     llama_forward,
+    to_stacked_params,
     write_prefill_kv,
+    write_prefill_kv_stacked,
 )
 
 
@@ -72,6 +77,14 @@ class Engine:
         dtype = self.ecfg.compute_dtype
         is_mpt = cfg_.decoder_type == "mpt"
         dec_key = "mpt" if is_mpt else "llama"
+        # LLaMA serving uses the stacked-layer layout: scan-over-layers
+        # decode compiles in seconds instead of minutes at 7B, with
+        # identical numerics (models/llama.py::llama_decode_step_stacked)
+        self._stacked = not is_mpt
+        if self._stacked:
+            self.params = dict(self.params)
+            self.params["llama"] = to_stacked_params(self.params["llama"])
+        stacked = self._stacked
 
         @functools.partial(jax.jit, static_argnames=("prefill_len",))
         def prefill_fn(params, input_ids, attention_mask, images, boxes, box_mask, prefill_len):
@@ -101,6 +114,12 @@ class Engine:
                 from gpt4roi_tpu.models.mpt import mpt_decode_step
 
                 logits, cache = mpt_decode_step(params["mpt"], cfg_.mpt, cache, emb, cache_len)
+            elif stacked:
+                ck, cv = cache
+                logits, ck, cv = llama_decode_step_stacked(
+                    params["llama"], cfg_.llama, ck, cv, emb, cache_len
+                )
+                cache = (ck, cv)
             else:
                 logits, cache = llama_decode_step(params["llama"], cfg_.llama, cache, emb, cache_len)
             greedy = jnp.argmax(logits, axis=-1)
@@ -163,6 +182,13 @@ class Engine:
                     logits, cache = mpt_decode_step(
                         params["mpt"], cfg_.mpt, cache, emb, bp, key_mask=key_mask
                     )
+                elif stacked:
+                    ck, cv = cache
+                    logits, ck, cv = llama_decode_step_stacked(
+                        params["llama"], cfg_.llama, ck, cv, emb, bp,
+                        positions=cp, key_mask=key_mask,
+                    )
+                    cache = (ck, cv)
                 else:
                     logits, cache = llama_decode_step(
                         params["llama"], cfg_.llama, cache, emb, bp,
@@ -203,6 +229,12 @@ class Engine:
                 from gpt4roi_tpu.models.mpt import mpt_extend
 
                 logits, cache = mpt_extend(params["mpt"], cfg_.mpt, cache, frag, start)
+            elif stacked:
+                ck, cv = cache
+                logits, ck, cv = llama_extend_stacked(
+                    params["llama"], cfg_.llama, ck, cv, frag, start
+                )
+                cache = (ck, cv)
             else:
                 logits, cache = llama_extend(params["llama"], cfg_.llama, cache, frag, start)
             return logits, cache
@@ -254,8 +286,7 @@ class Engine:
             jnp.asarray(box_mask),
             bucket,
         )
-        cache = init_kv_cache(self.kv_config(), b, total, dtype=self.ecfg.compute_dtype)
-        cache = write_prefill_kv(cache, kv)
+        cache = self._make_cache(b, total, kv)
 
         key_mask = np.ones((b, total), bool)
         for i in range(b):
@@ -307,6 +338,18 @@ class Engine:
                         outputs[i] = outputs[i][: j + 1]
                         break
         return outputs
+
+    def _make_cache(self, b: int, total: int, kv):
+        """Fresh cache filled with prefill K/V, in the decoder's layout
+        (stacked (L, B, S, N, D) arrays for LLaMA serving, per-layer
+        lists for MPT)."""
+        if self._stacked:
+            ck, cv = init_stacked_cache(
+                self.cfg.llama, b, total, dtype=self.ecfg.compute_dtype
+            )
+            return write_prefill_kv_stacked(ck, cv, kv)
+        cache = init_kv_cache(self.kv_config(), b, total, dtype=self.ecfg.compute_dtype)
+        return write_prefill_kv(cache, kv)
 
     def kv_config(self):
         """Shape config for init_kv_cache, covering both decoder types."""
@@ -361,8 +404,7 @@ class Engine:
             jnp.asarray(box_mask),
             bucket,
         )
-        cache = init_kv_cache(self.kv_config(), b, total, dtype=self.ecfg.compute_dtype)
-        cache = write_prefill_kv(cache, kv)
+        cache = self._make_cache(b, total, kv)
 
         # next token from the last valid prompt position
         lengths = np.full((b,), s, np.int32)
@@ -454,9 +496,16 @@ class CachedSession:
 
     def _ensure_cache(self) -> None:
         if self.cache is None:
-            self.cache = init_kv_cache(
-                self.engine.kv_config(), 1, self.max_len, dtype=self.engine.ecfg.compute_dtype
-            )
+            if self.engine._stacked:
+                self.cache = init_stacked_cache(
+                    self.engine.cfg.llama, 1, self.max_len,
+                    dtype=self.engine.ecfg.compute_dtype,
+                )
+            else:
+                self.cache = init_kv_cache(
+                    self.engine.kv_config(), 1, self.max_len,
+                    dtype=self.engine.ecfg.compute_dtype,
+                )
 
     def append_and_generate(
         self,

@@ -47,3 +47,41 @@ def test_filter_blocked():
     ]
     out = filter_conversations(content)
     assert [c["id"] for c in out] == ["2"]
+
+
+def test_sharegpt_html_to_markdown():
+    """Stdlib html->markdown cleaner (clean_sharegpt.py parity on the
+    ShareGPT tag subset + regex cleanups)."""
+    from gpt4roi_tpu.data.tools import html_to_markdown
+
+    got = html_to_markdown(
+        "<div class='x'><p>Hello <b>world</b></p>"
+        "<pre><code>pythonCopy codex = 1\ny = 2</code></pre></div>"
+    )
+    assert "Hello **world**" in got
+    # 'Copy code' block reformatted into fenced code with language tag
+    assert "```python\nx = 1\ny = 2\n```" in got
+    # regenerate noise stripped from the beginning
+    assert html_to_markdown("2 / 2Say hi") == "Say hi"
+    assert "Copy12 chars" not in html_to_markdown("ok Copy12 chars / 3 words done")
+
+
+def test_clean_sharegpt_pipeline():
+    from gpt4roi_tpu.data.tools import clean_sharegpt
+
+    mk = lambda cid, first, msgs: {"id": cid, "conversations": [
+        {"from": ("human" if (i + first) % 2 == 0 else "gpt"), "value": v}
+        for i, v in enumerate(msgs)]}
+    content = [
+        mk("a", 0, ["<p>hi</p>", "<b>hello</b>"]),           # ok
+        mk("b", 1, ["leading gpt", "q", "ans"]),             # gpt-first: drop turn -> ok
+        mk("c", 0, ["only human"]),                          # too short
+        mk("d", 0, ["tell me about chatgpt", "no"]),         # blocked
+        mk("a", 0, ["hi again", "x"]),                       # id dup
+        mk("e", 0, ["hi", "<b>hello</b>"]),                  # value dup of 'a'
+    ]
+    cleaned, counters = clean_sharegpt(content)
+    assert [s["id"] for s in cleaned] == ["a", "b"]
+    assert cleaned[0]["conversations"][1]["value"] == "**hello**"
+    assert counters == {"too_short": 1, "wrong_format": 0, "blocked_words": 1,
+                        "id_dup": 1, "value_dup": 1}

@@ -120,7 +120,8 @@ def test_int8_engine_serving_smoke(rng):
     ids, images, boxes, mask = make_batch(cfg, rng, b=1, s=24)
     try:
         eng = Engine(params, cfg, EngineConfig(max_seq_len=64, prefill_bucket=32, quantize="int8"))
-        assert "kernel_q" in eng.params["llama"]["layers"][0]["qkv"]
+        # serving layout: quantized fused projections, stacked along layers
+        assert "kernel_q" in eng.params["llama"]["layers_stacked"]["qkv"]
         out1 = eng.generate(ids, images, boxes, mask, max_new_tokens=4, temperature=0.0)
         out2 = eng.generate(ids, images, boxes, mask, max_new_tokens=4, temperature=0.0)
     finally:

@@ -168,3 +168,32 @@ def test_spi_grad_flows(cfg, rng):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_fuse_int8_matches_bf16_class(cfg, rng):
+    """Inference-only W8A8 int8 fuse convs (SpiConfig.fuse_int8): output
+    stays within the int8 numeric class of the fp path end to end."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from gpt4roi_tpu.models.spi import init_spi_params, spi_forward
+
+    params = init_spi_params(jax.random.PRNGKey(0), cfg)
+    b, r = 2, 3
+    feats = [
+        jnp.asarray(rng.standard_normal((b, cfg.base_grid**2, cfg.embed_dims)), jnp.float32)
+        for _ in range(cfg.num_levels)
+    ]
+    boxes = jnp.asarray(rng.random((b, r, 4)).astype(np.float32) * 0.4 + 0.1)
+    boxes = boxes.at[..., 2:].add(0.3)
+    mask = jnp.ones((b, r), bool)
+
+    want = np.asarray(spi_forward(params, feats, boxes, mask, cfg))
+    cfg8 = dataclasses.replace(cfg, fuse_int8=True)
+    got = np.asarray(spi_forward(params, feats, boxes, mask, cfg8))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    # 2 fuse rounds of W8A8 (per-tensor act + per-channel weight scales)
+    assert rel < 0.05, rel
+    # and it is actually a different path (int8 rounding visible)
+    assert rel > 1e-6
