@@ -112,7 +112,7 @@ def measure_encode(fuse_int8: bool = False) -> float:
     return BATCH * REGIONS / dt
 
 
-def measure_decode(batch: int, timeout_s: int = 480):
+def measure_decode(batch: int, timeout_s: int = 560):
     """Run scripts/bench_serve_decode.py in a bounded subprocess."""
     here = os.path.dirname(os.path.abspath(__file__))
     cmd = [

@@ -185,13 +185,16 @@ def llama_forward(
     return_kv: bool = False,
     use_flash: Optional[bool] = None,
     remat: bool = False,
-) -> Tuple[jax.Array, jax.Array, Optional[List[Tuple[jax.Array, jax.Array]]]]:
+    scan_layers: bool = False,
+) -> Tuple[jax.Array, jax.Array, Optional[Any]]:
     """Full (prefill/training) forward. Returns (logits, final_hidden, kv).
 
     ``remat=True`` rematerialises each decoder layer in the backward pass
     (the reference's --gradient_checkpointing; train_stage1.sh:33).
     ``segment_ids`` enables packed-sequence training: attention stays
-    within segments and ``positions`` should restart per segment."""
+    within segments and ``positions`` should restart per segment.
+    ``scan_layers=True`` (stacked params only) runs lax.scan over the
+    layer axis and returns kv as stacked (L, B, S, N, D) arrays."""
     if inputs_embeds is None:
         assert input_ids is not None
         inputs_embeds = params["embed"]["embedding"][input_ids]
@@ -224,6 +227,17 @@ def llama_forward(
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
+
+    if scan_layers:
+        # serving prefill: one compiled layer body instead of an L-times
+        # larger unrolled program (cold-start compile: minutes -> seconds
+        # at 7B). kv comes back stacked (L, B, S, N, D) — exactly the
+        # stacked-cache serving layout.
+        assert "layers_stacked" in params, "scan_layers needs stacked params"
+        x, (ks, vs) = jax.lax.scan(layer_fn, inputs_embeds, params["layers_stacked"])
+        x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+        logits = _proj(params["lm_head"], x)
+        return logits, x, ((ks, vs) if return_kv else None)
 
     x = inputs_embeds
     kv_out: List[Tuple[jax.Array, jax.Array]] = []
@@ -438,11 +452,16 @@ def init_stacked_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfl
 
 
 def write_prefill_kv_stacked(
-    ck: jax.Array, cv: jax.Array, kv: List[Tuple[jax.Array, jax.Array]]
+    ck: jax.Array, cv: jax.Array, kv
 ) -> Tuple[jax.Array, jax.Array]:
-    """Prefill K/V into stacked (L, B, S_max, N, D) buffers."""
-    ks = jnp.stack([k for k, _ in kv])
-    vs = jnp.stack([v for _, v in kv])
+    """Prefill K/V into stacked (L, B, S_max, N, D) buffers. ``kv`` is
+    either a per-layer list of (k, v) or already-stacked (ks, vs) arrays
+    (from scan_layers prefill)."""
+    if isinstance(kv, tuple) and len(kv) == 2 and hasattr(kv[0], "ndim"):
+        ks, vs = kv
+    else:
+        ks = jnp.stack([k for k, _ in kv])
+        vs = jnp.stack([v for _, v in kv])
     s = ks.shape[2]
     return (
         ck.at[:, :, :s].set(ks.astype(ck.dtype)),
