@@ -228,6 +228,9 @@ def llama_forward(
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
+    # stacked param trees (serving layout, or training with --scan_layers)
+    # take the scan path automatically
+    scan_layers = scan_layers or "layers" not in params
     if scan_layers:
         # serving prefill: one compiled layer body instead of an L-times
         # larger unrolled program (cold-start compile: minutes -> seconds

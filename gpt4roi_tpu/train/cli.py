@@ -67,6 +67,12 @@ def parse_args(argv=None) -> argparse.Namespace:
         "contains 'mpt', train.py:547-551)",
     )
     p.add_argument(
+        "--scan_layers",
+        action="store_true",
+        help="stacked-layer params + lax.scan over the decoder (7B train-"
+        "step compile drops from minutes to seconds; identical numerics)",
+    )
+    p.add_argument(
         "--packing",
         action="store_true",
         help="pack multiple samples per row (segment-masked attention); "
@@ -169,6 +175,11 @@ def main(argv=None) -> None:
         params = ckpt.load_params_npz(args.init_params_npz, params)
     if args.stage1_checkpoint:
         params = ckpt.restore_params_only(args.stage1_checkpoint, params)
+    if args.scan_layers and "llama" in params:
+        from gpt4roi_tpu.models.llama import to_stacked_params
+
+        params = dict(params)
+        params["llama"] = to_stacked_params(params["llama"])
 
     # --- data -------------------------------------------------------------
     dataset = make_multitask_dataset(
