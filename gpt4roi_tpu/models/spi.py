@@ -327,3 +327,32 @@ def spi_forward(
     out = _dense(params["updims"], out)
     out = out * box_mask.reshape(b * r, 1).astype(out.dtype)
     return out.reshape(b, r, cfg.out_dims)
+
+
+def sine_coordinate_encoding(
+    coord: jax.Array, num_feats: int = 128, temperature: float = 10000.0
+) -> jax.Array:
+    """DETR-style sine/cosine encoding of (..., 2|4) normalised coords
+    (reference: gpt4roi/models/layers.py coordinate_to_encoding — present
+    but unused in the live path, which uses the pos-embed MLP instead).
+    Feature order per coordinate: interleaved (sin, cos) pairs; 2-coord
+    inputs emit (y, x), 4-coord (y, x, w, h)."""
+    import math as _math
+
+    scale = 2.0 * _math.pi
+    dim_t = jnp.arange(num_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2.0 * jnp.floor(dim_t / 2.0) / num_feats)
+
+    def enc(v):
+        p = v[..., None] * scale / dim_t
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1).reshape(
+            *p.shape[:-1], -1
+        )
+
+    x, y = coord[..., 0], coord[..., 1]
+    parts = [enc(y), enc(x)]
+    if coord.shape[-1] == 4:
+        parts = [enc(y), enc(x), enc(coord[..., 2]), enc(coord[..., 3])]
+    elif coord.shape[-1] != 2:
+        raise ValueError(f"coord last dim must be 2 or 4, got {coord.shape[-1]}")
+    return jnp.concatenate(parts, axis=-1)

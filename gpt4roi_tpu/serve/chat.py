@@ -243,3 +243,17 @@ def visualize_regions(rgb: np.ndarray, boxes_px: Sequence[Sequence[float]]) -> n
         draw.rectangle([x1, y1, x2, y2], outline=c, width=3)
         draw.text((x1 + 3, max(y1 - 12, 0)), f"region{i + 1}", fill=c)
     return np.asarray(im)
+
+
+def str2spi(input_str: str):
+    """Parse ``<bbox>x1 y1 x2 y2</bbox>`` spans from free text into float
+    box lists (reference: gpt4roi/models/layers.py:13-21 — defined there
+    but never called; kept for API completeness)."""
+    import re
+
+    return [
+        [float(a), float(b), float(c), float(d)]
+        for a, b, c, d in re.findall(
+            r"<bbox>\s*(\d+)\s*(\d+)\s*(\d+)\s*(\d+)\s*</bbox>", input_str
+        )
+    ]

@@ -81,3 +81,38 @@ def test_preprocess_v1_two_style():
     q = tok.vocab["what"]
     qpos = np.where(ids == q)[0]
     assert labels[qpos[0]] == IGNORE_INDEX
+
+
+def test_str2spi_parse():
+    from gpt4roi_tpu.serve.chat import str2spi
+
+    assert str2spi("look at <bbox>10 20 30 40</bbox> and <bbox>1 2 3 4</bbox>") == [
+        [10.0, 20.0, 30.0, 40.0], [1.0, 2.0, 3.0, 4.0]]
+    assert str2spi("no boxes here") == []
+
+
+def test_sine_coordinate_encoding_from_spec():
+    """Independent numpy oracle of the reference's coordinate_to_encoding
+    (layers.py:39-71): interleaved sin/cos over a geometric freq ladder."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from gpt4roi_tpu.models.spi import sine_coordinate_encoding
+
+    rng = np.random.default_rng(0)
+    coord = rng.random((3, 4)).astype(np.float32)
+    got = np.asarray(sine_coordinate_encoding(jnp.asarray(coord), num_feats=8))
+
+    scale = 2 * np.pi
+    dim_t = np.arange(8, dtype=np.float32)
+    dim_t = 10000.0 ** (2 * (dim_t // 2) / 8)
+
+    def enc(v):
+        p = v[:, None] * scale / dim_t
+        return np.stack([np.sin(p[:, 0::2]), np.cos(p[:, 1::2])], -1).reshape(len(v), -1)
+
+    want = np.concatenate(
+        [enc(coord[:, 1]), enc(coord[:, 0]), enc(coord[:, 2]), enc(coord[:, 3])], -1
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert got.shape == (3, 32)
