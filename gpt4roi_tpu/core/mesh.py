@@ -82,7 +82,7 @@ def tree_fsdp_shardings(params, mesh: Mesh, min_size: int = 2**16):
 # beyond-reference capability for serving latency / >1-chip model scale):
 # column-parallel (shard output dim): q/k/v/gate/up/wqkv; row-parallel
 # (shard input dim): o/down/out_proj. XLA SPMD inserts the all-reduces.
-_TP_COL = ("/q/", "/k/", "/v/", "/gate/", "/up/", "/wqkv/")
+_TP_COL = ("/q/", "/k/", "/v/", "/gate/", "/up/", "/wqkv/", "/qkv/", "/gate_up/")
 _TP_ROW = ("/o/", "/down/", "/out_proj/")
 
 
@@ -94,6 +94,13 @@ def tp_param_spec(name: str, shape, mesh: Mesh, min_size: int = 2**16) -> P:
             return P(None, MODEL_AXIS)
         if any(t in name for t in _TP_ROW) and shape[0] % nmodel == 0:
             return P(MODEL_AXIS, None)
+    if nmodel > 1 and len(shape) == 3:
+        # stacked serving layout (L, in, out); fused qkv/gate_up columns
+        # shard fine — SPMD keeps logical semantics across the splits
+        if any(t in name for t in _TP_COL) and shape[2] % nmodel == 0:
+            return P(None, None, MODEL_AXIS)
+        if any(t in name for t in _TP_ROW) and shape[1] % nmodel == 0:
+            return P(None, MODEL_AXIS, None)
     return fsdp_param_spec(name, shape, mesh, min_size)
 
 

@@ -54,6 +54,11 @@ class EngineConfig:
     # (ops/quant.py) — ~1.6x decode speedup at 7B on one v5e, int8-class
     # numerics (beyond-reference capability; the reference serves fp16)
     quantize: Optional[str] = None
+    # Optional (data, model) jax.sharding.Mesh: Megatron-style tensor-
+    # parallel serving (column/row param shardings, KV heads sharded over
+    # the model axis; XLA SPMD inserts the collectives). The reference has
+    # no tensor parallelism at all.
+    mesh: Any = None
 
 
 def _round_up(n: int, m: int) -> int:
@@ -90,6 +95,31 @@ class Engine:
             self.params = dict(self.params)
             self.params["llama"] = to_stacked_params(self.params["llama"])
         stacked = self._stacked
+
+        self._kv_spec = None
+        if self.ecfg.mesh is not None:
+            assert not is_mpt, "TP serving is LLaMA-only"
+            from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+            from gpt4roi_tpu.core.mesh import MODEL_AXIS, tree_tp_shardings
+
+            mesh = self.ecfg.mesh
+            lp_sh = tree_tp_shardings(self.params["llama"], mesh, min_size=1)
+            repl = _NS(mesh, _P())
+            placed = {}
+            for k, v in self.params.items():
+                if k == "llama":
+                    placed[k] = jax.tree_util.tree_map(jax.device_put, v, lp_sh)
+                else:
+                    placed[k] = jax.tree_util.tree_map(
+                        lambda a: jax.device_put(a, repl), v
+                    )
+            self.params = placed
+            nkv = cfg_.llama.kv_heads
+            kv_axis = MODEL_AXIS if nkv % mesh.shape[MODEL_AXIS] == 0 else None
+            # stacked cache (L, B, S, N, D): shard the head axis with the
+            # column-parallel k/v outputs
+            self._kv_spec = _NS(mesh, _P(None, None, None, kv_axis, None))
 
         @functools.partial(jax.jit, static_argnames=("prefill_len",))
         def prefill_fn(params, input_ids, attention_mask, images, boxes, box_mask, prefill_len):
@@ -354,6 +384,9 @@ class Engine:
             ck, cv = init_stacked_cache(
                 self.cfg.llama, b, total, dtype=self.ecfg.compute_dtype
             )
+            if self._kv_spec is not None:
+                ck = jax.device_put(ck, self._kv_spec)
+                cv = jax.device_put(cv, self._kv_spec)
             return write_prefill_kv_stacked(ck, cv, kv)
         cache = init_kv_cache(self.kv_config(), b, total, dtype=self.ecfg.compute_dtype)
         return write_prefill_kv(cache, kv)
