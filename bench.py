@@ -148,12 +148,12 @@ def main() -> None:
         pass
 
     d1 = measure_decode(batch=1)
-    if d1:
+    if d1 and d1.get("step_ms", 0) > 0:
         toks = 1000.0 / d1["step_ms"]
         result["decode_int8_ms_per_tok"] = d1["step_ms"]
         ratios["decode"] = toks / A100_DECODE_TOKS_PER_SEC
     d8 = measure_decode(batch=8)
-    if d8:
+    if d8 and d8.get("tokens_per_sec", 0) > 0:
         result["serve_tokens_per_sec_batch8"] = d8["tokens_per_sec"]
         ratios["serving"] = d8["tokens_per_sec"] / A100_DECODE_TOKS_PER_SEC
 

@@ -272,12 +272,14 @@ def clean_sharegpt(content: List[Dict]) -> "tuple[List[Dict], Dict[str, int]]":
             continue
         cid = sample.get("id")
         vkey = (sample["conversations"][1]["value"], len(sample["conversations"]))
-        if cid in visited:
+        if cid is not None and cid in visited:
             counters["id_dup"] += 1
             continue
         if vkey in visited:
             counters["value_dup"] += 1
             continue
-        visited[cid] = visited[vkey] = cid
+        visited[vkey] = cid
+        if cid is not None:
+            visited[cid] = cid
         out.append(sample)
     return out, counters

@@ -72,6 +72,11 @@ def score_sciqa(
             "pred": pred["text"],
             "is_multimodal": "<image>" in pred.get("prompt", ""),
         }
+        # NOTE: a SECOND pred_index call, exactly as the reference does
+        # (eval_science_qa.py:79) — for FAILED extractions the recorded
+        # per-problem result is an independent random draw from the graded
+        # one. Kept for behavioral parity; the seeded rng at least makes
+        # both draws reproducible here.
         sqa["results"][prob_id] = pred_index(answer, prob["choices"], options, rng)
         sqa["outputs"][prob_id] = pred["text"]
         (results["correct"] if idx == prob["answer"] else results["incorrect"]).append(analysis)

@@ -414,9 +414,10 @@ def llama_extend(
     new_k, new_v = [], []
     for li, lp in enumerate(layer_params_list(params)):
         y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
-        q = _proj(lp["q"], y).reshape(b, t, nh, hd)
-        k = _proj(lp["k"], y).reshape(b, t, nkv, hd)
-        v = _proj(lp["v"], y).reshape(b, t, nkv, hd)
+        q, k, v = _qkv_proj(lp, y, nh, nkv, hd)  # fused-int8-layout aware
+        q = q.reshape(b, t, nh, hd)
+        k = k.reshape(b, t, nkv, hd)
+        v = v.reshape(b, t, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         ck = jax.lax.dynamic_update_slice(
@@ -432,8 +433,7 @@ def llama_extend(
         att = _mha(q, kr, vr, mask=allow[:, None], causal=False)
         x = x + _proj(lp["o"], att.reshape(b, t, d))
         y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
-        y = _proj(lp["down"], jax.nn.silu(_proj(lp["gate"], y)) * _proj(lp["up"], y))
-        x = x + y
+        x = x + _mlp(lp, y)
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
     logits = _proj(params["lm_head"], x)
     return logits, KVCache(k=new_k, v=new_v)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.experimental.pallas as pl
@@ -34,14 +34,16 @@ from jax.experimental.pallas import tpu as pltpu
 @jax.tree_util.register_pytree_node_class
 class QuantDense:
     """Int8 weight-only linear: kernel_q (in, out_padded) int8 + per-channel
-    scale (1, out_padded) fp32. ``out_dim`` (the logical output width) is
-    pytree aux data so it stays a static python int under jit. Dict-style
-    access kept for drop-in use next to plain param dicts."""
+    scale (1, out_padded) fp32. ``out_dim`` (the logical output width) and
+    ``mode`` (matmul path for this weight, see quant_matmul) are pytree aux
+    data so they stay static under jit. Dict-style access kept for drop-in
+    use next to plain param dicts."""
 
-    def __init__(self, kernel_q, scale, out_dim: int):
+    def __init__(self, kernel_q, scale, out_dim: int, mode: Optional[str] = None):
         self.kernel_q = kernel_q
         self.scale = scale
         self.out_dim = out_dim
+        self.mode = mode
 
     def __contains__(self, k):
         return k in ("kernel_q", "scale")
@@ -50,21 +52,25 @@ class QuantDense:
         return getattr(self, k)
 
     def tree_flatten(self):
-        return (self.kernel_q, self.scale), self.out_dim
+        return (self.kernel_q, self.scale), (self.out_dim, self.mode)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        out_dim, mode = aux if isinstance(aux, tuple) else (aux, None)
+        return cls(children[0], children[1], out_dim, mode)
 
     @property
     def dense_q(self):
         return self.kernel_q
 
 
-def quantize_weight(w: jax.Array, pad_out_to: int = 256) -> "QuantDense":
+def quantize_weight(
+    w: jax.Array, pad_out_to: int = 256, mode: Optional[str] = None
+) -> "QuantDense":
     """Per-output-channel symmetric int8: w (in, out) -> kernel_q (in, out'),
     scale (out',) fp32, out' = out padded to a multiple of ``pad_out_to``
-    (zero scale at pad columns -> exact-zero outputs, sliced by the caller)."""
+    (zero scale at pad columns -> exact-zero outputs, sliced by the caller).
+    ``mode`` pins this weight's matmul path (else env/default applies)."""
     w = w.astype(jnp.float32)
     inner, out = w.shape
     amax = jnp.max(jnp.abs(w), axis=0)
@@ -76,7 +82,7 @@ def quantize_weight(w: jax.Array, pad_out_to: int = 256) -> "QuantDense":
         scale = jnp.pad(jnp.where(amax > 0, scale, 0.0), (0, pad))
     else:
         scale = jnp.where(amax > 0, scale, 0.0)
-    return QuantDense(q, scale.astype(jnp.float32).reshape(1, -1), out)
+    return QuantDense(q, scale.astype(jnp.float32).reshape(1, -1), out, mode)
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref):
@@ -171,7 +177,7 @@ def quant_matmul(x: jax.Array, qp: "QuantDense") -> jax.Array:
     out_dim = qp.out_dim
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    mode = os.environ.get("GPT4ROI_QMM") or _DEFAULT_MODE or "xla"
+    mode = os.environ.get("GPT4ROI_QMM") or qp.mode or _DEFAULT_MODE or "xla"
     if mode == "w8a8":
         y = _w8a8_matmul(x2, qp.kernel_q, qp.scale).astype(x.dtype)
     elif (
@@ -185,7 +191,10 @@ def quant_matmul(x: jax.Array, qp: "QuantDense") -> jax.Array:
     return y[:, :out_dim].reshape(*lead, out_dim)
 
 
-def quantize_llama_params(params: Dict, keep_embed: bool = True, fuse_proj: bool = True) -> Dict:
+def quantize_llama_params(
+    params: Dict, keep_embed: bool = True, fuse_proj: bool = True,
+    mode: Optional[str] = None,
+) -> Dict:
     """Quantize every decoder projection (q/k/v/o/gate/up/down + lm_head)
     to int8; norms and the embedding table stay in their original dtype.
 
@@ -209,15 +218,15 @@ def quantize_llama_params(params: Dict, keep_embed: bool = True, fuse_proj: bool
             gate_up = jnp.concatenate(
                 [lp["gate"]["kernel"], lp["up"]["kernel"]], axis=1
             )
-            nl["qkv"] = quantize_weight(qkv)
-            nl["gate_up"] = quantize_weight(gate_up)
-            nl["o"] = quantize_weight(lp["o"]["kernel"])
-            nl["down"] = quantize_weight(lp["down"]["kernel"])
+            nl["qkv"] = quantize_weight(qkv, mode=mode)
+            nl["gate_up"] = quantize_weight(gate_up, mode=mode)
+            nl["o"] = quantize_weight(lp["o"]["kernel"], mode=mode)
+            nl["down"] = quantize_weight(lp["down"]["kernel"], mode=mode)
         else:
             for k in quant_keys:
-                nl[k] = quantize_weight(lp[k]["kernel"])
+                nl[k] = quantize_weight(lp[k]["kernel"], mode=mode)
         new_layers.append(nl)
     out = dict(params)
     out["layers"] = new_layers
-    out["lm_head"] = quantize_weight(params["lm_head"]["kernel"])
+    out["lm_head"] = quantize_weight(params["lm_head"]["kernel"], mode=mode)
     return out

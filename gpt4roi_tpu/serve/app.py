@@ -100,13 +100,13 @@ def extract_sketch_boxes(editor_value) -> list:
         return boxes
     comp = editor_value.get("composite")
     bg = editor_value.get("background")
-    if comp is None:
+    if comp is None or bg is None:
+        # without a background to subtract, the composite IS the photo —
+        # treating its pixels as strokes would fabricate a full-image box
         return []
     comp = np.asarray(comp)
-    if bg is not None:
-        diff = np.abs(comp[..., :3].astype(np.int16) - np.asarray(bg)[..., :3].astype(np.int16))
-        return mask_to_boxes(diff.max(axis=2) > 16)
-    return mask_to_boxes(comp)
+    diff = np.abs(comp[..., :3].astype(np.int16) - np.asarray(bg)[..., :3].astype(np.int16))
+    return mask_to_boxes(diff.max(axis=2) > 16)
 
 
 def gradio_app(session):  # pragma: no cover - requires gradio
@@ -135,13 +135,15 @@ def gradio_app(session):  # pragma: no cover - requires gradio
         if err is not None:
             return history + [[text, err]], None
         new = state["rounds"].new_boxes(all_boxes)
+        # run ALL validation before mutating any state: committing boxes
+        # the session then rejects would desynchronize region bookkeeping
+        err = session.check_input(text, len(new))
+        if err:
+            return history + [[text, err]], None
         if new:
             session.add_boxes(new, img.shape[:2])
         state["rounds"].commit(all_boxes)
         overlay = visualize_regions(img, all_boxes)
-        err = session.check_input(text, len(new))
-        if err:
-            return history + [[text, err]], overlay
         return history + [[text, session.ask(text)]], overlay
 
     def on_clear():

@@ -72,11 +72,11 @@ class Engine:
         self.ecfg = ecfg or EngineConfig()
         if self.ecfg.quantize == "int8":
             assert cfg.decoder_type == "llama", "int8 serving is LLaMA-only"
-            from gpt4roi_tpu.ops.quant import quantize_llama_params, set_default_mode
+            from gpt4roi_tpu.ops.quant import quantize_llama_params
 
-            set_default_mode("w8a8")
+            # mode rides on the QuantDense aux (no process-global state)
             self.params = dict(params)
-            self.params["llama"] = quantize_llama_params(params["llama"])
+            self.params["llama"] = quantize_llama_params(params["llama"], mode="w8a8")
             # the vision encode side gets the int8 fuse-conv fast path too
             # (models/spi.py; 1892 vs 1603 regions/s on one v5e)
             self.cfg = cfg = dataclasses.replace(

@@ -157,7 +157,9 @@ class SketchRounds:
         import re
 
         names = re.findall(r"<region(\d+)>", text)
-        fresh_names = [n for n in names if n not in self.seen_regions]
+        # unique fresh names: repeating the same new <regionN> in one
+        # message still needs only one drawn box
+        fresh_names = list(dict.fromkeys(n for n in names if n not in self.seen_regions))
         n_new = len(self.new_boxes(all_boxes))
         if self.committed == 0 and len(all_boxes) == 0:
             return (

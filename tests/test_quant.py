@@ -160,3 +160,27 @@ def test_stacked_decode_matches_unrolled(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(nk), np.stack([np.asarray(x) for x in want_cache.k]), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(nv), np.stack([np.asarray(x) for x in want_cache.v]), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_engine_cached_session(rng):
+    """Prefix-cache chat rounds with the fused-int8 layout (regression:
+    llama_extend must use the fused-aware projections)."""
+    from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
+    from gpt4roi_tpu.serve.engine import Engine, EngineConfig
+    from tests.test_gpt4roi import make_batch
+
+    cfg = Gpt4RoiConfig.tiny()
+    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg)
+    ids, images, boxes, mask = make_batch(cfg, rng, b=1, s=24)
+    eng = Engine(params, cfg, EngineConfig(max_seq_len=96, prefill_bucket=32, quantize="int8"))
+    want = eng.generate(ids, images, boxes, mask, max_new_tokens=4, temperature=0.0)[0]
+
+    sess = eng.cached_session()
+    sess.set_vision(images, boxes, mask)
+    got = sess.append_and_generate(list(ids[0]), max_new_tokens=4, temperature=0.0)
+    assert got == want
+    # mode rides on the weights, not process-global state
+    from gpt4roi_tpu.ops import quant as quant_mod
+
+    assert quant_mod._DEFAULT_MODE is None
+    assert eng.params["llama"]["layers_stacked"]["qkv"].mode == "w8a8"

@@ -122,3 +122,17 @@ def test_visualize_overlay_marks_boxes():
     assert out.sum() > 0  # something was drawn
     # border pixels colored on the box edge
     assert out[4, 8:30].sum() > 0
+
+
+def test_extract_sketch_boxes_composite_without_background():
+    """A composite with no background cannot be stroke-separated — must
+    return no boxes rather than a fabricated full-image box."""
+    comp = np.full((48, 64, 3), 200, np.uint8)
+    assert extract_sketch_boxes({"layers": [], "composite": comp, "background": None}) == []
+
+
+def test_sketch_rounds_repeated_new_region_name():
+    """Repeating one new <regionN> in a single message needs ONE box."""
+    r = SketchRounds()
+    b1 = (8.0, 4.0, 30.0, 20.0)
+    assert r.validate("is <region1> bigger than <region1> looked?", [b1]) is None
