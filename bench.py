@@ -138,6 +138,12 @@ def main() -> None:
     result = {}
     ratios = {}
 
+    # decode subprocesses run FIRST, before this process creates its own
+    # TPU client — two clients contending for the RPC tunnel makes the
+    # child's device init intermittently slow enough to blow the budget
+    d1 = measure_decode(batch=1) or measure_decode(batch=1)
+    d8 = measure_decode(batch=8) or measure_decode(batch=8)
+
     _enable_compile_cache()
     regions_s = measure_encode(fuse_int8=True)
     result["encode_regions_per_sec"] = round(regions_s, 1)
@@ -147,12 +153,10 @@ def main() -> None:
     except Exception:
         pass
 
-    d1 = measure_decode(batch=1)
     if d1 and d1.get("step_ms", 0) > 0:
         toks = 1000.0 / d1["step_ms"]
         result["decode_int8_ms_per_tok"] = d1["step_ms"]
         ratios["decode"] = toks / A100_DECODE_TOKS_PER_SEC
-    d8 = measure_decode(batch=8)
     if d8 and d8.get("tokens_per_sec", 0) > 0:
         result["serve_tokens_per_sec_batch8"] = d8["tokens_per_sec"]
         ratios["serving"] = d8["tokens_per_sec"] / A100_DECODE_TOKS_PER_SEC
