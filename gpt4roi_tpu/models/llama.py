@@ -186,6 +186,10 @@ def llama_forward(
     use_flash: Optional[bool] = None,
     remat: bool = False,
     scan_layers: bool = False,
+    kv_pad_to: Optional[int] = None,  # scan path: emit kv padded to S_max
+    logits_at: Optional[jax.Array] = None,  # scalar position: lm_head on
+    # ONE position only (B, 1, V) — full-seq prefill logits at 7B are
+    # S x V x fp32 of pure waste when serving needs the last token
 ) -> Tuple[jax.Array, jax.Array, Optional[Any]]:
     """Full (prefill/training) forward. Returns (logits, final_hidden, kv).
 
@@ -223,6 +227,15 @@ def llama_forward(
         att = self_attention(q, kr, vr, segment_ids=segment_ids, causal=True, use_flash=use_flash)
         x = x + _proj(lp["o"], att.reshape(b, s, d))
         y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
+        if kv_pad_to is not None:
+            # emit the cache-ready row count per layer; the stacked scan ys
+            # then IS the (L, B, S_max, N, D) KV cache — avoids holding the
+            # unpadded prefill K/V and a separately allocated cache at the
+            # same time (the transient doubled KV memory OOMed 7B serving
+            # on one 16 GB chip)
+            pad = ((0, 0), (0, kv_pad_to - s), (0, 0), (0, 0))
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
         return x + _mlp(lp, y), (k, v)
 
     if remat:
@@ -239,7 +252,10 @@ def llama_forward(
         assert "layers_stacked" in params, "scan_layers needs stacked params"
         x, (ks, vs) = jax.lax.scan(layer_fn, inputs_embeds, params["layers_stacked"])
         x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
-        logits = _proj(params["lm_head"], x)
+        xh = x
+        if logits_at is not None:
+            xh = jax.lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)
+        logits = _proj(params["lm_head"], xh)
         return logits, x, ((ks, vs) if return_kv else None)
 
     x = inputs_embeds
@@ -249,7 +265,10 @@ def llama_forward(
         if return_kv:
             kv_out.append(kv)
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
-    logits = _proj(params["lm_head"], x)
+    xh = x
+    if logits_at is not None:
+        xh = jax.lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)
+    logits = _proj(params["lm_head"], xh)
     return logits, x, (kv_out if return_kv else None)
 
 

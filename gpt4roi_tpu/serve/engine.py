@@ -121,8 +121,9 @@ class Engine:
             # column-parallel k/v outputs
             self._kv_spec = _NS(mesh, _P(None, None, None, kv_axis, None))
 
-        @functools.partial(jax.jit, static_argnames=("prefill_len",))
-        def prefill_fn(params, input_ids, attention_mask, images, boxes, box_mask, prefill_len):
+        @functools.partial(jax.jit, static_argnames=("prefill_len", "kv_rows"))
+        def prefill_fn(params, input_ids, attention_mask, images, boxes, box_mask,
+                       prefill_len, kv_rows=None, logits_at=None):
             embeds = build_input_embeds(
                 params, cfg_, input_ids, images, boxes, box_mask, dtype
             )
@@ -141,6 +142,8 @@ class Engine:
                     attention_mask=attention_mask,
                     return_kv=True,
                     scan_layers=stacked,
+                    kv_pad_to=kv_rows if stacked else None,
+                    logits_at=logits_at,
                 )
             return logits, kv
 
@@ -164,7 +167,7 @@ class Engine:
             next_tok = jnp.where(temperature > 0.0, sampled, greedy)
             return next_tok.astype(jnp.int32), cache
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(1,))
         def decode_chunk_fn(params, cache, token_ids, cache_len, temperature, key, n_steps):
             """Decode ``n_steps`` tokens in ONE dispatch via lax.scan —
             per-token host round-trips dominate on RPC-tunnelled backends,
@@ -179,8 +182,9 @@ class Engine:
             (tok, cache, clen), toks = jax.lax.scan(body, (token_ids, cache, cache_len), keys)
             return toks.T, cache  # (B, n_steps)
 
-        @functools.partial(jax.jit, static_argnames=("prefill_len",))
-        def prefill_ragged_fn(params, input_ids, pad_len, images, boxes, box_mask, prefill_len):
+        @functools.partial(jax.jit, static_argnames=("prefill_len", "kv_rows"))
+        def prefill_ragged_fn(params, input_ids, pad_len, images, boxes, box_mask,
+                              prefill_len, kv_rows=None, logits_at=None):
             """Left-padded ragged prefill: content right-aligned so every
             sequence ends at the same buffer position; RoPE positions and
             the segment mask are derived from per-sample pad lengths."""
@@ -203,10 +207,12 @@ class Engine:
                     params["llama"], cfg_.llama, inputs_embeds=embeds,
                     positions=pos, segment_ids=seg, return_kv=True,
                     scan_layers=stacked,
+                    kv_pad_to=kv_rows if stacked else None,
+                    logits_at=logits_at,
                 )
             return logits, kv
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(1,))
         def decode_chunk_ragged_fn(
             params, cache, token_ids, buf_pos, content_pos, key_mask, temperature, key, n_steps
         ):
@@ -322,6 +328,8 @@ class Engine:
             jnp.asarray(boxes),
             jnp.asarray(box_mask),
             bucket,
+            kv_rows=total if self._stacked else None,
+            logits_at=jnp.int32(bucket - 1) if self._stacked else None,
         )
         cache = self._make_cache(b, total, kv)
 
@@ -329,7 +337,8 @@ class Engine:
         for i in range(b):
             key_mask[i, : pad_len[i]] = False
 
-        last_logits = np.asarray(logits)[:, bucket - 1]
+        logits_np = np.asarray(logits)
+        last_logits = logits_np[:, -1] if logits_np.shape[1] == 1 else logits_np[:, bucket - 1]
         key = jax.random.PRNGKey(seed)
         if temperature > 0:
             key, sub = jax.random.split(key)
@@ -381,6 +390,17 @@ class Engine:
         (stacked (L, B, S, N, D) arrays for LLaMA serving, per-layer
         lists for MPT)."""
         if self._stacked:
+            if (
+                isinstance(kv, tuple) and hasattr(kv[0], "ndim")
+                and kv[0].shape[2] == total
+            ):
+                # prefill emitted cache-ready padded buffers (kv_rows):
+                # they ARE the cache — no second allocation, no copy
+                ck, cv = kv[0].astype(self.ecfg.compute_dtype), kv[1].astype(self.ecfg.compute_dtype)
+                if self._kv_spec is not None:
+                    ck = jax.device_put(ck, self._kv_spec)
+                    cv = jax.device_put(cv, self._kv_spec)
+                return ck, cv
             ck, cv = init_stacked_cache(
                 self.cfg.llama, b, total, dtype=self.ecfg.compute_dtype
             )
@@ -443,12 +463,18 @@ class Engine:
             jnp.asarray(boxes),
             jnp.asarray(box_mask),
             bucket,
+            kv_rows=total if self._stacked else None,
+            logits_at=jnp.int32(s - 1) if self._stacked else None,
         )
         cache = self._make_cache(b, total, kv)
 
         # next token from the last valid prompt position
         lengths = np.full((b,), s, np.int32)
-        last_logits = np.asarray(logits)[np.arange(b), lengths - 1]
+        logits_np = np.asarray(logits)
+        last_logits = (
+            logits_np[:, 0] if logits_np.shape[1] == 1
+            else logits_np[np.arange(b), lengths - 1]
+        )
         key = jax.random.PRNGKey(seed)
         if temperature > 0:
             key, sub = jax.random.split(key)
