@@ -120,3 +120,37 @@ def test_flash_vs_xla_attention(rng):
     finally:
         pl.pallas_call = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3)
+
+
+def test_scan_prefill_kv_pad_and_logits_at(rng):
+    """Serving-prefill memory features: kv_pad_to emits cache-ready padded
+    K/V and logits_at computes the lm_head on one position — both must
+    agree exactly with the plain full outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpt4roi_tpu.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_forward,
+        to_stacked_params,
+    )
+
+    cfg = LlamaConfig.tiny(vocab_size=64)
+    params = to_stacked_params(init_llama_params(jax.random.PRNGKey(0), cfg))
+    ids = jnp.asarray(rng.integers(1, 64, (2, 12)).astype(np.int32))
+
+    full_logits, _, (ks, vs) = llama_forward(params, cfg, input_ids=ids, return_kv=True)
+    one_logits, _, (ksp, vsp) = llama_forward(
+        params, cfg, input_ids=ids, return_kv=True,
+        kv_pad_to=20, logits_at=jnp.int32(7),
+    )
+    assert one_logits.shape == (2, 1, 64)
+    np.testing.assert_allclose(
+        np.asarray(one_logits[:, 0]), np.asarray(full_logits[:, 7]), rtol=1e-6
+    )
+    # padded kv: first 12 rows match, the pad rows are exact zeros
+    assert ksp.shape[2] == 20 and vsp.shape[2] == 20
+    np.testing.assert_array_equal(np.asarray(ksp[:, :, :12]), np.asarray(ks))
+    assert np.asarray(ksp[:, :, 12:]).max() == 0.0
+    np.testing.assert_array_equal(np.asarray(vsp[:, :, :12]), np.asarray(vs))
