@@ -31,6 +31,7 @@ from gpt4roi_tpu.ops.roi_align.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
@@ -208,8 +209,30 @@ def _conv_int8(kq: jax.Array, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return y, sx
 
 
-def mlvl_fuse(params: Params, feats: List[jax.Array], cfg: SpiConfig) -> List[jax.Array]:
-    """Coordinate concat + input convs + num_fuse shuffle rounds."""
+def _quant_static(x: jax.Array, s: jax.Array) -> jax.Array:
+    """Static-scale int8 activation quantization: pure elementwise (no absmax
+    reduction pass), so XLA fuses it into the producing op (GN epilogue or
+    bilinear interp). Out-of-range values saturate at ±127."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+
+
+def mlvl_fuse(
+    params: Params,
+    feats: List[jax.Array],
+    cfg: SpiConfig,
+    act_scales: jax.Array | None = None,
+    collect_scales: bool = False,
+):
+    """Coordinate concat + input convs + num_fuse shuffle rounds.
+
+    ``act_scales`` (num_fuse, num_levels) f32 enables the static-scale W8A8
+    path: one shared activation scale per (round, target-level) covering all
+    three kernel slices, so the int32 partial sums add directly and the
+    quantize has no per-call absmax reduction (the dynamic path's absmax
+    passes cost ~31 ms/batch on v5e — see PARITY.md). Obtain scales with
+    ``calibrate_fuse_act_scales``. ``collect_scales`` runs the fp path and
+    additionally returns the observed (num_fuse, num_levels) conv-input
+    absmaxes (the calibration measurement)."""
     levels = []
     for lvl, f in enumerate(feats):
         h, w = f.shape[1], f.shape[2]
@@ -218,6 +241,59 @@ def mlvl_fuse(params: Params, feats: List[jax.Array], cfg: SpiConfig) -> List[ja
 
     n = cfg.num_levels
     rc, sc = cfg.remain_channels, cfg.shuffle_channels
+
+    def one_round_static(levels, fuse_p, scales_row):
+        # W8A8 with calibrated static activation scales: quantizes are
+        # elementwise (XLA-fused into interp/concat producers, no absmax
+        # reduction pass), and the shared act scale per target level lets
+        # the three kernel slices collapse back into ONE int8 conv over an
+        # int8 channel-concat — one int32 output materialization instead of
+        # three (int32 maps are 4 B/el of HBM traffic; the int8 concat is
+        # 1 B/el). Single f32 epilogue applies s * sw before GroupNorm.
+        kern = fuse_p["conv"]["kernel"]
+        mode = os.environ.get("GPT4ROI_FUSE_STATIC", "concat")
+        if mode == "concat":
+            (kq_full,), sw = _quant_kernel_slices(kern, [kern.shape[2]])
+        else:
+            (kq_rem, kq_top, kq_down), sw = _quant_kernel_slices(
+                kern, [rc, sc, kern.shape[2] - rc - sc]
+            )
+        new_levels = []
+        for lvl in range(n):
+            top = min(lvl + 1, n - 1)
+            down = max(lvl - 1, 0)
+            tar = levels[lvl]
+            hw = (tar.shape[1], tar.shape[2])
+            s = scales_row[lvl]
+            from_top = interpolate_bilinear(levels[top][..., rc + sc :], hw, align_corners=True)
+            from_down = interpolate_bilinear(levels[down][..., rc : rc + sc], hw, align_corners=True)
+            if mode == "concat":
+                qcat = jnp.concatenate(
+                    [
+                        _quant_static(tar[..., :rc], s),
+                        _quant_static(from_top, s),
+                        _quant_static(from_down, s),
+                    ],
+                    axis=-1,
+                )
+                y = jax.lax.conv_general_dilated(
+                    qcat, kq_full, window_strides=(1, 1), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+            else:
+                y = None
+                for kq, xs in ((kq_rem, tar[..., :rc]), (kq_top, from_top), (kq_down, from_down)):
+                    yi = jax.lax.conv_general_dilated(
+                        _quant_static(xs, s), kq, window_strides=(1, 1), padding="SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.int32,
+                    )
+                    y = yi if y is None else y + yi
+            y = (y.astype(jnp.float32) * (s * sw)).astype(tar.dtype)
+            y = group_norm(y, fuse_p["gn"]["scale"], fuse_p["gn"]["bias"], cfg.gn_groups)
+            new_levels.append(jax.nn.relu(y))
+        return new_levels
 
     def one_round(levels, fuse_p):
         # conv(concat(a, b, c)) == conv_a(a) + conv_b(b) + conv_c(c) with the
@@ -267,9 +343,61 @@ def mlvl_fuse(params: Params, feats: List[jax.Array], cfg: SpiConfig) -> List[ja
     # remat per shuffle round: the fuse pyramid's activations dominate SPI
     # training memory (5 rounds x 4 levels of up-to-128^2x1024 maps)
     one_round = jax.checkpoint(one_round)
+
+    if collect_scales:
+        # calibration: fp rounds, recording each round's per-target-level
+        # conv-input absmax (max over the three kernel-slice inputs)
+        maxes = []
+        for fuse_p in params["fuse_convs"]:
+            row = []
+            for lvl in range(n):
+                top = min(lvl + 1, n - 1)
+                down = max(lvl - 1, 0)
+                tar = levels[lvl]
+                hw = (tar.shape[1], tar.shape[2])
+                ft = interpolate_bilinear(levels[top][..., rc + sc :], hw, align_corners=True)
+                fd = interpolate_bilinear(levels[down][..., rc : rc + sc], hw, align_corners=True)
+                m = jnp.max(jnp.abs(tar[..., :rc].astype(jnp.float32)))
+                m = jnp.maximum(m, jnp.max(jnp.abs(ft.astype(jnp.float32))))
+                m = jnp.maximum(m, jnp.max(jnp.abs(fd.astype(jnp.float32))))
+                row.append(m)
+            maxes.append(jnp.stack(row))
+            levels = one_round(levels, fuse_p)
+        return levels, jnp.stack(maxes)
+
+    if cfg.fuse_int8 and act_scales is not None:
+        for r_i, fuse_p in enumerate(params["fuse_convs"]):
+            levels = one_round_static(levels, fuse_p, act_scales[r_i])
+        return levels
+
     for fuse_p in params["fuse_convs"]:
         levels = one_round(levels, fuse_p)
     return levels
+
+
+def calibrate_fuse_act_scales(
+    params: Params,
+    mlvl_feats: Sequence[jax.Array],
+    cfg: SpiConfig,
+    margin: float = 1.0,
+) -> jax.Array:
+    """Run the fp fuse pyramid on a calibration batch and return static W8A8
+    activation scales (num_fuse, num_levels) f32 for the int8 fast path.
+
+    Store the result under ``params["fuse_act_scales"]`` to activate the
+    static-scale path in :func:`spi_forward` (standard static-activation
+    W8A8 serving practice; out-of-calibration outliers saturate at ±127).
+    The reference has no quantized path — this accelerates the region encode
+    of gpt4roi/models/layers.py:128-180 beyond it."""
+    b = mlvl_feats[0].shape[0]
+    g, c = cfg.base_grid, cfg.embed_dims
+    feats = [f.reshape(b, g, g, c) for f in mlvl_feats]
+    feats = [
+        interpolate_bilinear(f, (s, s), align_corners=True)
+        for f, s in zip(feats, cfg.level_sizes)
+    ]
+    _, maxes = mlvl_fuse(params, feats, cfg, collect_scales=True)
+    return jnp.where(maxes > 0, maxes * margin / 127.0, 1.0).astype(jnp.float32)
 
 
 def box_position_embedding(params: Params, boxes: jax.Array) -> jax.Array:
@@ -298,7 +426,7 @@ def spi_forward(
         interpolate_bilinear(f, (s, s), align_corners=True)
         for f, s in zip(feats, cfg.level_sizes)
     ]
-    feats = mlvl_fuse(params, feats, cfg)
+    feats = mlvl_fuse(params, feats, cfg, act_scales=params.get("fuse_act_scales"))
 
     flat_boxes = boxes.reshape(b * r, 4).astype(jnp.float32)
     pos = box_position_embedding(params, flat_boxes)

@@ -238,9 +238,15 @@ class Engine:
                         positions=cp, key_mask=key_mask,
                     )
                 greedy = jnp.argmax(logits, axis=-1)
-                scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
-                sampled = jax.random.categorical(step_key, scaled, axis=-1)
-                nxt = jnp.where(temperature > 0.0, sampled, greedy).astype(jnp.int32)
+                # temperature may be a scalar (whole batch) or per-slot (B,)
+                # — continuous batching mixes requests with different temps
+                t = jnp.reshape(jnp.maximum(temperature, 1e-6), (-1, 1))
+                sampled = jax.random.categorical(
+                    step_key, logits.astype(jnp.float32) / t, axis=-1
+                )
+                nxt = jnp.where(
+                    jnp.reshape(temperature, (-1,)) > 0.0, sampled, greedy
+                ).astype(jnp.int32)
                 return (nxt, cache, bp + 1, cp + 1), nxt
 
             keys = jax.random.split(key, n_steps)

@@ -74,16 +74,58 @@ def restore_checkpoint(ckpt_dir: str, template: TrainState, step: Optional[int] 
     return TrainState(step=out["step"], params=out["params"], opt_state=out["opt_state"])
 
 
+def _swap_layer_layout(tree: Any) -> Any:
+    """Recursively flip decoder param layouts: per-layer ``layers`` list <->
+    ``layers_stacked`` tree (the --scan_layers training / serving layout,
+    models/llama.py::to_stacked_params). An involution on layout, used both
+    to build the alternate restore template and to convert the restored
+    tree back to the requested layout."""
+    if isinstance(tree, dict):
+        # decoder trees carry lm_head; CLIP's transformer also has a
+        # "layers" list but is never scan-stacked — leave it alone
+        if "layers" in tree and "lm_head" in tree:
+            from gpt4roi_tpu.models.llama import to_stacked_params
+
+            tree = to_stacked_params(tree)
+        elif "layers_stacked" in tree:
+            from gpt4roi_tpu.models.llama import layer_params_list
+
+            layers = layer_params_list(tree)
+            tree = {k: v for k, v in tree.items() if k != "layers_stacked"}
+            tree["layers"] = layers
+        return {
+            k: _swap_layer_layout(v) if k not in ("layers", "layers_stacked") else v
+            for k, v in tree.items()
+        }
+    return tree
+
+
 def restore_params_only(ckpt_dir: str, params_template: Any, step: Optional[int] = None) -> Any:
     """Weights-only restore: fresh optimizer, warm weights — the reference's
-    stage-1 -> stage-2 handoff without the bash symlinks."""
+    stage-1 -> stage-2 handoff without the bash symlinks.
+
+    Auto-converts decoder layer layouts: an unrolled (``layers`` list)
+    checkpoint restores cleanly into a stacked (``--scan_layers``) template
+    and vice versa — the stored layout is probed and the restored tree is
+    converted, so no hand-invoked ``to_stacked_params`` step is needed."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(ckpt_dir)
     step = step if step is not None else mgr.latest_step()
     assert step is not None, f"no checkpoint in {ckpt_dir}"
-    out = mgr.restore(step, args=ocp.args.Composite(params=ocp.args.StandardRestore(params_template)))
-    return out["params"]
+    try:
+        out = mgr.restore(
+            step, args=ocp.args.Composite(params=ocp.args.StandardRestore(params_template))
+        )
+        return out["params"]
+    except Exception:
+        # stored layout may be the other decoder layer layout: probe with
+        # the swapped template, then convert the result back
+        alt_template = _swap_layer_layout(params_template)
+        out = mgr.restore(
+            step, args=ocp.args.Composite(params=ocp.args.StandardRestore(alt_template))
+        )
+        return _swap_layer_layout(out["params"])
 
 
 def save_params_npz(path: str, params: Any) -> None:

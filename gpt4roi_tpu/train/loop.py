@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gpt4roi_tpu.core.mesh import DATA_AXIS, tree_fsdp_shardings
+from gpt4roi_tpu.core.mesh import DATA_AXIS, tree_fsdp_shardings, tree_tp_shardings
 from gpt4roi_tpu.models.gpt4roi import (
     Gpt4RoiConfig,
     gpt4roi_forward,
@@ -104,16 +104,26 @@ def make_sharded_train_step(
     compute_dtype=jnp.bfloat16,
     fsdp_min_size: int = 2**16,
     packed: bool = False,
+    tensor_parallel: bool = False,
 ):
     """Build (jitted_step, init_fn, param_shardings). ``init_fn`` places an
     existing host param tree onto the mesh with FSDP shardings and creates
     the optimizer state with matching layouts. Params smaller than
     ``fsdp_min_size`` elements stay replicated. ``packed=True`` expects
-    packed batches (data.packing; image count must divide the data axis)."""
+    packed batches (data.packing; image count must divide the data axis).
+
+    ``tensor_parallel=True`` on a 2D (data, model) mesh lays decoder
+    matrices out Megatron-style along ``model`` (column/row-parallel,
+    core/mesh.py::tree_tp_shardings) while everything else stays FSDP along
+    ``data`` — a combined FSDP x TP 2D training step (beyond-reference;
+    the reference's FSDP recipe is train_stage2.sh:51-52). XLA SPMD
+    inserts the all-reduce/all-gather collectives; the masked (frozen-
+    param) optimizer applies unchanged."""
     tx = make_optimizer(tcfg, params)
     step = make_train_step(cfg, tcfg, tx, compute_dtype, packed=packed)
 
-    param_sh = tree_fsdp_shardings(params, mesh, fsdp_min_size)
+    shard_fn = tree_tp_shardings if tensor_parallel else tree_fsdp_shardings
+    param_sh = shard_fn(params, mesh, fsdp_min_size)
     repl = NamedSharding(mesh, P())
 
     def init_state(host_params) -> TrainState:

@@ -69,3 +69,58 @@ def test_tp_engine_generate_matches_single_device(rng):
     assert o_sh.spec == jax.sharding.PartitionSpec(None, "model", None)
     got = tp.generate(ids, images, boxes, mask, max_new_tokens=4, temperature=0.0)
     assert got == want
+
+
+def test_tp_train_step_2d_mesh(rng):
+    """Combined FSDP x TP training (VERDICT r2 item 5): a full train step on
+    a (data=2, model=4) mesh with Megatron decoder specs + masked optimizer
+    runs, updates trainable params, and leaves frozen ones untouched."""
+    from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
+    from gpt4roi_tpu.train.loop import make_sharded_train_step
+    from gpt4roi_tpu.train.state import TrainConfig
+
+    assert jax.device_count() >= 8
+    cfg = Gpt4RoiConfig.tiny()
+    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg)
+    host_params = jax.tree_util.tree_map(np.asarray, params)
+    mesh = make_mesh(jax.devices()[:8], data=2, model=4)
+    tcfg = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=4, warmup_steps=0)
+    jit_step, init_state, param_sh = make_sharded_train_step(
+        cfg, tcfg, mesh, host_params, compute_dtype=jnp.float32,
+        tensor_parallel=True, fsdp_min_size=1024,
+    )
+    # decoder matrices are model-sharded, batch shards on data
+    assert param_sh["llama"]["layers"][0]["q"]["kernel"].spec == P(None, "model")
+    assert param_sh["llama"]["layers"][0]["o"]["kernel"].spec == P("model", None)
+
+    state = init_state(host_params)
+    b, s, r = 2, 48, 4
+    n_img = cfg.num_image_tokens
+    ids = rng.integers(5, 50, (b, s)).astype(np.int32)
+    ids[:, 1] = cfg.im_start_token_id
+    ids[:, 2 : 2 + n_img] = cfg.im_patch_token_id
+    ids[:, 2 + n_img] = cfg.im_end_token_id
+    ids[:, 4 + n_img] = cfg.bbox_token_id
+    labels = ids.copy()
+    labels[:, : 3 + n_img] = -100
+    batch = {
+        "input_ids": ids,
+        "labels": labels,
+        "attention_mask": np.ones((b, s), np.float32),
+        "images": rng.standard_normal((b, cfg.clip.image_size, cfg.clip.image_size, 3)).astype(np.float32),
+        "boxes": np.tile(np.array([[0.1, 0.1, 0.6, 0.6]], np.float32), (b, r, 1)),
+        "box_mask": np.ones((b, r), bool),
+    }
+    sh = NamedSharding(mesh, P("data"))
+    batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    state, metrics = jit_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # stage2 freezes CLIP: its params must be bitwise untouched; the
+    # TP-sharded decoder matrices must have moved
+    np.testing.assert_array_equal(
+        np.asarray(state.params["clip"]["patch_proj"]), host_params["clip"]["patch_proj"]
+    )
+    assert not np.array_equal(
+        np.asarray(state.params["llama"]["layers"][0]["q"]["kernel"]),
+        host_params["llama"]["layers"][0]["q"]["kernel"],
+    )

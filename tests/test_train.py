@@ -151,6 +151,45 @@ def test_checkpoint_roundtrip(tiny, tmp_path):
     )
 
 
+def test_checkpoint_layout_autoconvert(tiny, tmp_path):
+    """VERDICT r2 item 7: an unrolled checkpoint restores into a stacked
+    (--scan_layers) template and vice versa, with no manual conversion."""
+    from gpt4roi_tpu.models.llama import layer_params_list, to_stacked_params
+    from gpt4roi_tpu.train.checkpoints import restore_params_only, save_checkpoint
+
+    cfg, params = tiny
+    tcfg = TrainConfig(stage="stage1", total_steps=10)
+    state = create_train_state(params, tcfg)
+    ck = str(tmp_path / "ckpt_unrolled")
+    save_checkpoint(ck, state, step=1)
+
+    # unrolled on disk -> stacked template
+    stacked_template = dict(params)
+    stacked_template["llama"] = to_stacked_params(
+        jax.tree_util.tree_map(np.asarray, params["llama"])
+    )
+    got = restore_params_only(ck, stacked_template)
+    assert "layers_stacked" in got["llama"] and "layers" not in got["llama"]
+    want0 = params["llama"]["layers"][0]["q"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(got["llama"]["layers_stacked"]["q"])[0][0]),
+        np.asarray(want0),
+    )
+
+    # stacked on disk -> unrolled template
+    stacked_params = dict(params)
+    stacked_params["llama"] = to_stacked_params(params["llama"])
+    state2 = create_train_state(stacked_params, tcfg)
+    ck2 = str(tmp_path / "ckpt_stacked")
+    save_checkpoint(ck2, state2, step=1)
+    got2 = restore_params_only(ck2, jax.tree_util.tree_map(np.asarray, params))
+    assert "layers" in got2["llama"] and "layers_stacked" not in got2["llama"]
+    np.testing.assert_array_equal(
+        np.asarray(got2["llama"]["layers"][-1]["o"]["kernel"]),
+        np.asarray(params["llama"]["layers"][-1]["o"]["kernel"]),
+    )
+
+
 def test_param_labels(tiny):
     cfg, params = tiny
     labs = param_labels(params, "stage1")
