@@ -98,6 +98,14 @@ def _proj(p, x):
     return x @ p["kernel"].astype(x.dtype)
 
 
+def _layer_list(params: Params):
+    """Per-layer param trees from either layout (stacked slices are views
+    under jit — models/llama.py::layer_params_list)."""
+    from gpt4roi_tpu.models.llama import layer_params_list
+
+    return layer_params_list(params)
+
+
 def mpt_forward(
     params: Params,
     cfg: MptConfig,
@@ -106,7 +114,10 @@ def mpt_forward(
     attention_mask: Optional[jax.Array] = None,  # (B, S) 1 = valid
     return_kv: bool = False,
     remat: bool = False,
-) -> Tuple[jax.Array, jax.Array, Optional[List[Tuple[jax.Array, jax.Array]]]]:
+    scan_layers: bool = False,
+    kv_pad_to: Optional[int] = None,  # scan path: emit kv padded to S_max
+    logits_at: Optional[jax.Array] = None,  # lm_head at ONE position (B,1,V)
+) -> Tuple[jax.Array, jax.Array, Optional[Any]]:
     if inputs_embeds is None:
         assert input_ids is not None
         inputs_embeds = params["embed"]["embedding"][input_ids]
@@ -143,10 +154,33 @@ def mpt_forward(
         x = x + _proj(lp["out_proj"], att)
         y = _ln(lp["norm_2"], x, cfg.layer_norm_eps)
         y = _proj(lp["down"], jax.nn.gelu(_proj(lp["up"], y), approximate=False))
+        if kv_pad_to is not None:
+            # cache-ready rows: the stacked scan ys IS the KV cache (see
+            # llama_forward's kv_pad_to note — avoids the transient
+            # prefill-KV + cache double allocation)
+            pad = ((0, 0), (0, kv_pad_to - s), (0, 0), (0, 0))
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
         return x + y, (k, v)
 
     if remat:
         block = jax.checkpoint(block)
+
+    scan_layers = scan_layers or "layers" not in params
+    if scan_layers:
+        # serving prefill via lax.scan over the stacked layer axis — one
+        # compiled layer body (cold-start compile: minutes -> seconds at
+        # 7B scale), kv returned stacked (L, B, S, N, D); mirrors
+        # models/llama.py::llama_forward's scan path for the MPT decoder
+        # (reference: llava/model/llava_mpt.py + llava/model/mpt/*)
+        assert "layers_stacked" in params, "scan_layers needs stacked params"
+        x, (ks, vs) = jax.lax.scan(block, inputs_embeds, params["layers_stacked"])
+        x = _ln(params["final_norm"], x, cfg.layer_norm_eps)
+        xh = x
+        if logits_at is not None:
+            xh = jax.lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)
+        logits = _proj(params["lm_head"], xh)
+        return logits, x, ((ks, vs) if return_kv else None)
 
     x = inputs_embeds
     kv_out: List[Tuple[jax.Array, jax.Array]] = []
@@ -155,7 +189,10 @@ def mpt_forward(
         if return_kv:
             kv_out.append(kv)
     x = _ln(params["final_norm"], x, cfg.layer_norm_eps)
-    logits = _proj(params["lm_head"], x)
+    xh = x
+    if logits_at is not None:
+        xh = jax.lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)
+    logits = _proj(params["lm_head"], xh)
     return logits, x, (kv_out if return_kv else None)
 
 
@@ -179,7 +216,7 @@ def mpt_decode_step(
 
     x = token_embeds
     new_k, new_v = [], []
-    for li, lp in enumerate(params["layers"]):
+    for li, lp in enumerate(_layer_list(params)):
         y = _ln(lp["norm_1"], x, cfg.layer_norm_eps)
         qkv = _proj(lp["wqkv"], y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -217,6 +254,98 @@ def mpt_decode_step(
     return logits, KVCache(k=new_k, v=new_v)
 
 
+def mpt_decode_step_stacked(
+    params: Params,  # embed/final_norm/lm_head + 'layers_stacked'
+    cfg: MptConfig,
+    cache_k: jax.Array,  # (L, B, S_max, H, D)
+    cache_v: jax.Array,
+    token_embeds: jax.Array,  # (B, 1, D)
+    cache_len: jax.Array,  # scalar or (B,)
+    positions: Optional[jax.Array] = None,  # (B,) content positions for the
+    # ALiBi query offset (left-padded ragged batches)
+    key_mask: Optional[jax.Array] = None,  # (B, S_max)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode step with ``lax.scan`` over the layer axis (ALiBi analog of
+    models/llama.py::llama_decode_step_stacked; reference decoder:
+    llava/model/mpt/attention.py).
+
+    Same cache discipline as the LLaMA kernel — slices enter the scan
+    READ-ONLY (xs), fresh k/v rows come back as tiny ys, ONE scatter
+    outside the scan (threading the cache through ys copies the whole
+    multi-GB buffer per token, measured 3x slower at 7B). The current
+    token contributes via an appended self column with zero ALiBi bias
+    (slope * (q_pos - q_pos)); relative ALiBi over buffer positions is
+    left-pad-correct because the per-query constant cancels in softmax."""
+    b, _, d = token_embeds.shape
+    nh, hd = cfg.n_heads, cfg.head_dim
+    scale = 1.0 / math.sqrt(hd)
+    s_max = cache_k.shape[2]
+    slopes = alibi_slopes(nh, cfg.alibi_bias_max)
+    pos_vec = jnp.broadcast_to(cache_len, (b,))
+    qpos = (pos_vec if positions is None else positions).astype(jnp.float32)
+    kpos = jnp.arange(s_max, dtype=jnp.float32)
+    bias = slopes[None, :, None, None] * (
+        kpos[None, None, None, :] - qpos[:, None, None, None]
+    )  # (B, H, 1, S)
+    # strictly-past cache rows only; the fresh token rides the self column
+    valid = jnp.arange(s_max)[None, :] < pos_vec[:, None]
+    if key_mask is not None:
+        valid = valid & key_mask.astype(bool)
+
+    def body(x, per_layer):
+        lp, ck_buf, cv_buf = per_layer
+        y = _ln(lp["norm_1"], x, cfg.layer_norm_eps)
+        qkv = _proj(lp["wqkv"], y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, 1, nh, hd)
+        k = k.reshape(b, nh, hd)
+        v = v.reshape(b, nh, hd)
+        logits_c = jnp.einsum(
+            "bqnd,bknd->bnqk", q, ck_buf.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        logits_c = jnp.where(valid[:, None, None, :], logits_c, _NEG_INF)
+        logit_s = jnp.einsum(
+            "bqnd,bnd->bnq", q, k.astype(q.dtype), preferred_element_type=jnp.float32
+        )[..., None] * scale  # self column, zero ALiBi bias
+        probs = jax.nn.softmax(jnp.concatenate([logits_c, logit_s], axis=-1), axis=-1)
+        att = jnp.einsum(
+            "bnqk,bknd->bqnd", probs[..., :s_max].astype(cv_buf.dtype), cv_buf
+        ) + probs[..., s_max:].astype(v.dtype).transpose(0, 2, 1, 3) * v[:, None]
+        x = x + _proj(lp["out_proj"], att.astype(x.dtype).reshape(b, 1, d))
+        y = _ln(lp["norm_2"], x, cfg.layer_norm_eps)
+        y = _proj(lp["down"], jax.nn.gelu(_proj(lp["up"], y), approximate=False))
+        return x + y, (k, v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, token_embeds, (params["layers_stacked"], cache_k, cache_v)
+    )
+    bix = jnp.arange(b)
+    cache_k = cache_k.at[:, bix, pos_vec].set(new_k.astype(cache_k.dtype))
+    cache_v = cache_v.at[:, bix, pos_vec].set(new_v.astype(cache_v.dtype))
+    x = _ln(params["final_norm"], x, cfg.layer_norm_eps)
+    logits = _proj(params["lm_head"], x)[:, 0]
+    return logits, cache_k, cache_v
+
+
+def mpt_extend_stacked(
+    params: Params,
+    cfg: MptConfig,
+    ck: jax.Array,  # (L, B, S_max, H, D)
+    cv: jax.Array,
+    new_embeds: jax.Array,
+    start: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """mpt_extend over stacked cache buffers (prefix-cache sessions in the
+    stacked serving layout; mirror of llama_extend_stacked)."""
+    from gpt4roi_tpu.models.llama import KVCache
+
+    num = ck.shape[0]
+    cache = KVCache(k=[ck[i] for i in range(num)], v=[cv[i] for i in range(num)])
+    logits, new_cache = mpt_extend(params, cfg, cache, new_embeds, start)
+    return logits, jnp.stack(new_cache.k), jnp.stack(new_cache.v)
+
+
 def mpt_extend(
     params: Params,
     cfg: MptConfig,
@@ -243,7 +372,7 @@ def mpt_extend(
 
     x = new_embeds
     new_k, new_v = [], []
-    for li, lp in enumerate(params["layers"]):
+    for li, lp in enumerate(_layer_list(params)):
         y = _ln(lp["norm_1"], x, cfg.layer_norm_eps)
         qkv = _proj(lp["wqkv"], y)
         q, k, v = jnp.split(qkv, 3, axis=-1)

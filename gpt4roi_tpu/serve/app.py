@@ -109,12 +109,12 @@ def extract_sketch_boxes(editor_value) -> list:
     return mask_to_boxes(diff.max(axis=2) > 16)
 
 
-def gradio_app(session):  # pragma: no cover - requires gradio
-    """Draw-a-box chat (reference gpt4roi/app.py:395-473): upload an image,
-    sketch boxes on it, reference them as <region1>, <region2>, ... —
-    region indices are global across chat rounds."""
-    import gradio as gr
-
+def build_handlers(session):
+    """Headless gradio event handlers (on_ask, on_clear) over a chat
+    session — separated from the gradio widget wiring so the full
+    draw-a-box round flow is drivable without gradio installed
+    (tests/test_sketch.py runs it against a recorded ImageEditor payload
+    fixture; reference flow: gpt4roi/app.py:242-328, 365-388)."""
     from gpt4roi_tpu.serve.chat import visualize_regions
     from gpt4roi_tpu.serve.sketch import SketchRounds
 
@@ -151,6 +151,17 @@ def gradio_app(session):  # pragma: no cover - requires gradio
         state["rounds"].reset()
         session.reset()
         return None, [], None
+
+    return on_ask, on_clear
+
+
+def gradio_app(session):  # pragma: no cover - requires gradio
+    """Draw-a-box chat (reference gpt4roi/app.py:395-473): upload an image,
+    sketch boxes on it, reference them as <region1>, <region2>, ... —
+    region indices are global across chat rounds."""
+    import gradio as gr
+
+    on_ask, on_clear = build_handlers(session)
 
     with gr.Blocks(title="GPT4RoI-TPU") as demo:
         gr.Markdown(

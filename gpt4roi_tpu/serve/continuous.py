@@ -104,7 +104,7 @@ class ContinuousEngine:
         self.n = int(n_slots)
         self.chunk = int(chunk_size)
         self.S = int(engine.ecfg.max_seq_len)
-        cfg = engine.cfg.llama
+        cfg = engine.kv_config()
         self.cache = init_stacked_cache(cfg, self.n, self.S, dtype=engine.ecfg.compute_dtype)
         if engine._kv_spec is not None:
             self.cache = tuple(jax.device_put(c, engine._kv_spec) for c in self.cache)

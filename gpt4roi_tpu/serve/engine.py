@@ -87,13 +87,14 @@ class Engine:
         dtype = self.ecfg.compute_dtype
         is_mpt = cfg_.decoder_type == "mpt"
         dec_key = "mpt" if is_mpt else "llama"
-        # LLaMA serving uses the stacked-layer layout: scan-over-layers
-        # decode compiles in seconds instead of minutes at 7B, with
-        # identical numerics (models/llama.py::llama_decode_step_stacked)
-        self._stacked = not is_mpt
-        if self._stacked:
-            self.params = dict(self.params)
-            self.params["llama"] = to_stacked_params(self.params["llama"])
+        # Serving uses the stacked-layer layout for BOTH decoders:
+        # scan-over-layers prefill/decode compiles in seconds instead of
+        # minutes at 7B, with identical numerics
+        # (models/llama.py::llama_decode_step_stacked,
+        # models/mpt.py::mpt_decode_step_stacked)
+        self._stacked = True
+        self.params = dict(self.params)
+        self.params[dec_key] = to_stacked_params(self.params[dec_key])
         stacked = self._stacked
 
         self._kv_spec = None
@@ -133,6 +134,8 @@ class Engine:
                 logits, _, kv = mpt_forward(
                     params["mpt"], cfg_.mpt, inputs_embeds=embeds,
                     attention_mask=attention_mask, return_kv=True,
+                    scan_layers=stacked, kv_pad_to=kv_rows if stacked else None,
+                    logits_at=logits_at,
                 )
             else:
                 logits, _, kv = llama_forward(
@@ -149,7 +152,15 @@ class Engine:
 
         def one_step(params, cache, token_ids, cache_len, temperature, key):
             emb = params[dec_key]["embed"]["embedding"][token_ids][:, None, :].astype(dtype)
-            if is_mpt:
+            if is_mpt and stacked:
+                from gpt4roi_tpu.models.mpt import mpt_decode_step_stacked
+
+                ck, cv = cache
+                logits, ck, cv = mpt_decode_step_stacked(
+                    params["mpt"], cfg_.mpt, ck, cv, emb, cache_len
+                )
+                cache = (ck, cv)
+            elif is_mpt:
                 from gpt4roi_tpu.models.mpt import mpt_decode_step
 
                 logits, cache = mpt_decode_step(params["mpt"], cfg_.mpt, cache, emb, cache_len)
@@ -219,7 +230,18 @@ class Engine:
             def body(carry, step_key):
                 tok, cache, bp, cp = carry
                 emb = params[dec_key]["embed"]["embedding"][tok][:, None, :].astype(dtype)
-                if is_mpt:
+                if is_mpt and stacked:
+                    # ALiBi over buffer positions is left-pad-correct
+                    # (translation-invariant relative form) — no content-
+                    # position override needed, only the pad key_mask
+                    from gpt4roi_tpu.models.mpt import mpt_decode_step_stacked
+
+                    ck, cv = cache
+                    logits, ck, cv = mpt_decode_step_stacked(
+                        params["mpt"], cfg_.mpt, ck, cv, emb, bp, key_mask=key_mask
+                    )
+                    cache = (ck, cv)
+                elif is_mpt:
                     from gpt4roi_tpu.models.mpt import mpt_decode_step
 
                     logits, cache = mpt_decode_step(
@@ -274,7 +296,15 @@ class Engine:
             frag = jax.lax.dynamic_slice(
                 embeds, (0, start, 0), (embeds.shape[0], frag_len, embeds.shape[2])
             )
-            if is_mpt:
+            if is_mpt and stacked:
+                from gpt4roi_tpu.models.mpt import mpt_extend_stacked
+
+                ck, cv = cache
+                logits, ck, cv = mpt_extend_stacked(
+                    params["mpt"], cfg_.mpt, ck, cv, frag, start
+                )
+                cache = (ck, cv)
+            elif is_mpt:
                 from gpt4roi_tpu.models.mpt import mpt_extend
 
                 logits, cache = mpt_extend(params["mpt"], cfg_.mpt, cache, frag, start)
@@ -408,7 +438,7 @@ class Engine:
                     cv = jax.device_put(cv, self._kv_spec)
                 return ck, cv
             ck, cv = init_stacked_cache(
-                self.cfg.llama, b, total, dtype=self.ecfg.compute_dtype
+                self.kv_config(), b, total, dtype=self.ecfg.compute_dtype
             )
             if self._kv_spec is not None:
                 ck = jax.device_put(ck, self._kv_spec)
@@ -570,7 +600,7 @@ class CachedSession:
         if self.cache is None:
             if self.engine._stacked:
                 self.cache = init_stacked_cache(
-                    self.engine.cfg.llama, 1, self.max_len,
+                    self.engine.kv_config(), 1, self.max_len,
                     dtype=self.engine.ecfg.compute_dtype,
                 )
             else:

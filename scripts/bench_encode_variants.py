@@ -96,6 +96,21 @@ def main() -> None:
     if "dyn" in variants:
         rs, ms = run(cfg8, params)
         print(f"dyn:    {rs:8.1f} regions/s  ({ms:.1f} ms/batch)", flush=True)
+    if "static_nogn" in variants:
+        # timing-only probe: GroupNorm replaced by identity to isolate the
+        # GN stats+apply passes' share of the fuse rounds (numerics WRONG)
+        orig_gn = spi_mod.group_norm
+        spi_mod.group_norm = lambda x, scale, bias, g: x
+        try:
+            p2 = dict(params)
+            p2["spi"] = dict(params["spi"])
+            p2["spi"]["fuse_act_scales"] = jnp.ones(
+                (base_cfg.spi.num_fuse, base_cfg.spi.num_levels), jnp.float32
+            )
+            rs, ms = run(cfg8, p2)
+            print(f"static_nogn(PROBE): {rs:8.1f} regions/s  ({ms:.1f} ms/batch)", flush=True)
+        finally:
+            spi_mod.group_norm = orig_gn
     if "static" in variants:
         # calibrate on a different random batch (honest static-scale serving)
         cal_images = jnp.asarray(rng.standard_normal((B, 224, 224, 3), dtype=np.float32), dtype)

@@ -1,14 +1,25 @@
 """Train-step throughput measurement on the attached TPU.
 
-Runs a stage-1-style step (frozen CLIP+LLM, SPI grads) and a stage-2-style
-step (full grads) on a 7B-shaped-but-shallow model (full CLIP ViT-L/14 +
-full SPI + LLaMA with --layers decoder layers; one v5e chip cannot hold
-7B fp32 Adam state, so scale the per-layer cost x32/layers for the full
-model). Not driver-run; invoke manually.
+Measures the stage-1/stage-2 train step at reduced LLaMA depth (one 16 GB
+v5e cannot hold 7B optimizer state) and extrapolates the full 32-layer cost
+from the measured per-layer slope: t(32) = t(L) + (t(L) - t(L2)) / (L - L2)
+* (32 - L). The per-layer cost is linear by construction (identical scanned
+blocks); the intercept (CLIP + SPI + embed/head + collectives + dispatch)
+is measured, not modelled.
+
+Timing runs K steps inside ONE jitted lax.scan dispatch: on RPC-tunnelled
+backends per-dispatch overhead is ~2 s for large arg trees, so per-step
+host loops would swamp the signal; the (K, 2K) pair cancels the remaining
+constant: step = (t_2K - t_K) / K.
+
+Reference match: train_stage2.sh:38-57 (8xA100 FSDP, per-device batch 2,
+seq 2048, bf16, grad checkpointing). Invoke manually or via bench.py
+(--json mode).
 """
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -20,35 +31,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--layers", type=int, default=4)
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--seq", type=int, default=512)
-    p.add_argument("--regions", type=int, default=16)
-    p.add_argument("--stage", default="stage1", choices=["stage1", "stage2"])
-    p.add_argument("--iters", type=int, default=10)
-    args = p.parse_args()
-
+def build_step(args, layers: int, dtype, param_dtype):
     from gpt4roi_tpu.models.clip_vit import ClipVisionConfig
     from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
-    from gpt4roi_tpu.models.llama import LlamaConfig
+    from gpt4roi_tpu.models.llama import LlamaConfig, to_stacked_params
     from gpt4roi_tpu.train.loop import make_train_step
     from gpt4roi_tpu.train.state import TrainConfig, create_train_state, make_optimizer
 
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
     cfg = Gpt4RoiConfig(
         clip=ClipVisionConfig.vit_l_14(),
-        llama=dataclasses.replace(LlamaConfig.llama_7b(), num_layers=args.layers),
+        llama=dataclasses.replace(LlamaConfig.llama_7b(), num_layers=layers),
     )
-    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg, jnp.float32)
-    tcfg = TrainConfig(stage=args.stage, learning_rate=2e-5, total_steps=100, warmup_steps=0)
+    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg, param_dtype)
+    if args.scan_layers:
+        params = dict(params)
+        params["llama"] = to_stacked_params(params["llama"])
+    tcfg = TrainConfig(
+        stage=args.stage, learning_rate=2e-5, total_steps=100, warmup_steps=0,
+        optimizer=args.optimizer,
+    )
     tx = make_optimizer(tcfg, params)
     state = create_train_state(params, tcfg)
-    step = jax.jit(make_train_step(cfg, tcfg, tx, compute_dtype=dtype), donate_argnums=(0,))
+    step = make_train_step(cfg, tcfg, tx, compute_dtype=dtype)
 
-    b, s, r = args.batch, args.seq, args.regions
+    def multi(state, batch, n):
+        def body(s, _):
+            s, m = step(s, batch)
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, None, length=n)
+
+    jit_multi = jax.jit(multi, static_argnames=("n",), donate_argnums=(0,))
+    return cfg, state, jit_multi
+
+
+def make_batch(cfg, b, s, r):
     rng = np.random.default_rng(0)
     n_img = cfg.num_image_tokens
     ids = rng.integers(5, 31000, (b, s)).astype(np.int32)
@@ -61,27 +78,90 @@ def main():
     labels[:, : 3 + n_img] = -100
     boxes = np.clip(rng.random((b, r, 4)).astype(np.float32), 0.05, 0.6)
     boxes[..., 2:] = boxes[..., :2] + 0.3
-    batch = {
+    return {
         "input_ids": jnp.asarray(ids),
         "labels": jnp.asarray(labels),
         "attention_mask": jnp.ones((b, s), jnp.float32),
-        "images": jnp.asarray(rng.standard_normal((b, 224, 224, 3)).astype(np.float32), dtype),
+        "images": jnp.asarray(rng.standard_normal((b, 224, 224, 3)).astype(np.float32)),
         "boxes": jnp.asarray(boxes),
         "box_mask": jnp.ones((b, r), bool),
     }
 
-    state, m = step(state, batch)
-    float(np.asarray(m["loss"]))  # compile barrier
+
+def measure_depth(args, layers, dtype, param_dtype, k):
+    """Warm, then time K and 2K scanned steps; return (step_s, loss)."""
+    cfg, state, jit_multi = build_step(args, layers, dtype, param_dtype)
+    batch = make_batch(cfg, args.batch, args.seq, args.regions)
+    state, losses = jit_multi(state, batch, 1)
+    float(np.asarray(losses)[-1])  # compile barrier
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, m = step(state, batch)
-    float(np.asarray(m["loss"]))
-    dt = (time.perf_counter() - t0) / args.iters
-    print(
-        f"{args.stage} step (L={args.layers}, b={b}, s={s}, r={r}): "
-        f"{dt*1e3:.1f} ms -> {b*s/dt:.0f} tok/s, {b*r/dt:.0f} regions/s; "
-        f"loss={float(np.asarray(m['loss'])):.3f}"
-    )
+    state, losses = jit_multi(state, batch, k)
+    float(np.asarray(losses)[-1])
+    t_k = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, losses = jit_multi(state, batch, 2 * k)
+    loss = float(np.asarray(losses)[-1])
+    t_2k = time.perf_counter() - t0
+    del state
+    return (t_2k - t_k) / k, loss
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--layers2", type=int, default=4,
+                   help="second depth for the per-layer slope (0 = skip)")
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--seq", type=int, default=2048)
+    p.add_argument("--regions", type=int, default=16)
+    p.add_argument("--stage", default="stage2", choices=["stage1", "stage2"])
+    p.add_argument("--k", type=int, default=3, help="steps per timed dispatch")
+    p.add_argument("--scan_layers", action="store_true")
+    p.add_argument("--optimizer", default="adamw", choices=["adamw", "adamw8bit"])
+    p.add_argument("--param_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--full_layers", type=int, default=32)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    param_dtype = jnp.bfloat16 if args.param_dtype == "bfloat16" else jnp.float32
+
+    t1, loss1 = measure_depth(args, args.layers, dtype, param_dtype, args.k)
+    out = {
+        "stage": args.stage,
+        "batch": args.batch,
+        "seq": args.seq,
+        "regions": args.regions,
+        "layers": args.layers,
+        "step_ms": round(t1 * 1e3, 1),
+        "loss": round(loss1, 3),
+    }
+    if args.layers2:
+        t2, _ = measure_depth(args, args.layers2, dtype, param_dtype, args.k)
+        slope = (t1 - t2) / (args.layers - args.layers2)
+        t_full = t1 + slope * (args.full_layers - args.layers)
+        out.update(
+            {
+                "layers2": args.layers2,
+                "step_ms_l2": round(t2 * 1e3, 1),
+                "per_layer_ms": round(slope * 1e3, 2),
+                "step_ms_full": round(t_full * 1e3, 1),
+                "tokens_per_sec_full": round(args.batch * args.seq / t_full, 1),
+                "img_regions_per_sec_full": round(args.batch * args.regions / t_full, 2),
+            }
+        )
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(out)
 
 
 if __name__ == "__main__":

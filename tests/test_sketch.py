@@ -136,3 +136,85 @@ def test_sketch_rounds_repeated_new_region_name():
     r = SketchRounds()
     b1 = (8.0, 4.0, 30.0, 20.0)
     assert r.validate("is <region1> bigger than <region1> looked?", [b1]) is None
+
+
+def test_recorded_imageeditor_payload_roundflow():
+    """Drive extract_sketch_boxes + the full gradio on_ask round flow with
+    the checked-in ImageEditor EditorValue payload fixture (anti-aliased
+    round-brush strokes, per-stroke RGBA layers, alpha-blended composite —
+    the exact dict schema gr.ImageEditor(type='numpy') hands the event
+    handler; see tests/fixtures/gen_gradio_payload.py for provenance).
+    Closes the headless end of component #22 (reference: gpt4roi/app.py:
+    365-388, 395-473)."""
+    import os
+
+    from gpt4roi_tpu.serve.app import build_handlers, extract_sketch_boxes
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "gradio_imageeditor_payload.npz")
+    data = np.load(path)
+    value = {
+        "background": data["background"],
+        "layers": [data["layer_0"], data["layer_1"]],
+        "composite": data["composite"],
+    }
+    drawn = data["drawn_boxes"]  # (2, 4) int32, the intended outlines
+
+    # per-layer extraction: one box per stroke, within brush radius+jitter
+    boxes = extract_sketch_boxes(value)
+    assert len(boxes) == 2
+    for got, want in zip(boxes, drawn):
+        assert np.all(np.abs(np.asarray(got) - want.astype(float)) <= 8.0), (got, want)
+
+    # composite fallback (no layers): anti-aliased strokes over a noisy
+    # photo fragment under background subtraction (threshold 16), so the
+    # fallback over-segments — assert it still LOCATES both strokes
+    # (every drawn outline is hit by at least one extracted component);
+    # the per-stroke layers path above is what real payloads carry
+    v2 = {"background": data["background"], "layers": [], "composite": data["composite"]}
+    boxes2 = extract_sketch_boxes(v2)
+    assert len(boxes2) >= 2
+    for want in drawn:
+        hit = any(
+            not (b[2] < want[0] - 8 or b[0] > want[2] + 8
+                 or b[3] < want[1] - 8 or b[1] > want[3] + 8)
+            for b in boxes2
+        )
+        assert hit, (want, boxes2[:5])
+
+    # full round flow through the headless gradio handlers
+    class FakeSession:
+        def __init__(self):
+            self.calls = []
+            self.temperature = 0.0
+
+        def reset(self):
+            self.calls.append(("reset",))
+
+        def set_image(self, img):
+            self.calls.append(("set_image", img.shape))
+
+        def check_input(self, text, n_new):
+            return None
+
+        def add_boxes(self, boxes, shape):
+            self.calls.append(("add_boxes", len(boxes), shape))
+
+        def ask(self, text):
+            self.calls.append(("ask", text))
+            return f"answer about {text}"
+
+    sess = FakeSession()
+    on_ask, on_clear = build_handlers(sess)
+    history, overlay = on_ask(value, "describe <region1> and <region2>", [])
+    assert len(history) == 1 and "answer" in history[0][1]
+    assert ("add_boxes", 2, value["background"].shape[:2]) in sess.calls
+    assert overlay is not None and overlay.shape[:2] == value["background"].shape[:2]
+
+    # round 2 re-references without new strokes: no new add_boxes
+    n_calls = len([c for c in sess.calls if c[0] == "add_boxes"])
+    history, _ = on_ask(value, "more about <region1>", history)
+    assert len([c for c in sess.calls if c[0] == "add_boxes"]) == n_calls
+    assert len(history) == 2
+
+    on_clear()
+    assert ("reset",) in sess.calls
