@@ -35,6 +35,7 @@ import time
 
 A100_ENCODE_REGIONS_PER_SEC = 2100.0  # anchored, BASELINE.md
 A100_DECODE_TOKS_PER_SEC = 67.0  # generous anchor, BASELINE.md
+A100_TRAIN_TOKS_PER_SEC = 2400.0  # stage-2 anchor, BASELINE.md round 3
 
 BATCH = 8
 REGIONS = 32
@@ -90,6 +91,32 @@ def measure_encode(fuse_int8: bool = False) -> float:
     boxes = jnp.asarray(np.concatenate([xy, np.minimum(xy + wh + 0.05, 1.0)], -1))
     box_mask = jnp.ones((BATCH, REGIONS), bool)
 
+    if fuse_int8:
+        # static calibrated W8A8 activation scales (models/spi.py): the
+        # quantize has no absmax pass and the three slice convs collapse
+        # into one int8 conv — calibrated on a DIFFERENT random batch
+        # (standard static-activation serving practice)
+        from gpt4roi_tpu.models.clip_vit import clip_vision_forward
+        from gpt4roi_tpu.models.gpt4roi import select_image_and_pyramid_features
+
+        cal_images = jnp.asarray(
+            rng.standard_normal((BATCH, 224, 224, 3), dtype=np.float32), dtype
+        )
+
+        @jax.jit
+        def calibrate(params, images):
+            _, hs = clip_vision_forward(params["clip"], images, cfg.clip, dtype)
+            _, pyramid = select_image_and_pyramid_features(
+                hs, cfg.vision_select_layer, cfg.num_pyramid_levels
+            )
+            return spi_mod.calibrate_fuse_act_scales(params["spi"], pyramid, cfg.spi)
+
+        scales = calibrate(params, cal_images)
+        np.asarray(scales)
+        params = dict(params)
+        params["spi"] = dict(params["spi"])
+        params["spi"]["fuse_act_scales"] = scales
+
     @jax.jit
     def encode(params, images, boxes, box_mask, salt):
         # `salt` chains iterations into a dependency sequence so pipelined
@@ -134,15 +161,42 @@ def measure_decode(batch: int, timeout_s: int = 560):
     return None
 
 
+def measure_train(timeout_s: int = 560):
+    """Run scripts/bench_train.py in a bounded subprocess (stage-2,
+    scan-layers + remat + int8 AdamW; 32-layer step extrapolated from two
+    measured depths — BASELINE.md train anchor section)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [
+        sys.executable, os.path.join(here, "scripts", "bench_train.py"),
+        "--stage", "stage2", "--scan_layers", "--optimizer", "adamw8bit",
+        "--param_dtype", "bfloat16", "--layers", "8", "--layers2", "4",
+        "--json",
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, cwd=here, timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    except Exception:
+        pass
+    return None
+
+
 def main() -> None:
     result = {}
     ratios = {}
 
-    # decode subprocesses run FIRST, before this process creates its own
-    # TPU client — two clients contending for the RPC tunnel makes the
+    # decode/train subprocesses run FIRST, before this process creates its
+    # own TPU client — two clients contending for the RPC tunnel makes the
     # child's device init intermittently slow enough to blow the budget
     d1 = measure_decode(batch=1) or measure_decode(batch=1)
     d8 = measure_decode(batch=8) or measure_decode(batch=8)
+    tr = measure_train() or measure_train()
 
     _enable_compile_cache()
     regions_s = measure_encode(fuse_int8=True)
@@ -160,8 +214,13 @@ def main() -> None:
     if d8 and d8.get("tokens_per_sec", 0) > 0:
         result["serve_tokens_per_sec_batch8"] = d8["tokens_per_sec"]
         ratios["serving"] = d8["tokens_per_sec"] / A100_DECODE_TOKS_PER_SEC
+    if tr and tr.get("tokens_per_sec_full", 0) > 0:
+        result["train_step_ms_32l"] = tr["step_ms_full"]
+        result["train_tokens_per_sec"] = tr["tokens_per_sec_full"]
+        ratios["train"] = tr["tokens_per_sec_full"] / A100_TRAIN_TOKS_PER_SEC
 
     composite = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    inf_ratios = {k: v for k, v in ratios.items() if k != "train"}
     result.update(
         {
             "metric": "composite_speedup_vs_a100_reference (geomean of "
@@ -172,6 +231,11 @@ def main() -> None:
             **{f"{k}_vs_baseline": round(v, 4) for k, v in ratios.items()},
         }
     )
+    if inf_ratios and len(inf_ratios) != len(ratios):
+        # rounds 1-2 comparability: the inference-only 3-component geomean
+        result["inference_composite"] = round(
+            math.exp(sum(math.log(r) for r in inf_ratios.values()) / len(inf_ratios)), 4
+        )
     print(json.dumps(result))
 
 

@@ -54,6 +54,13 @@ class Handle:
         self._new: collections.deque = collections.deque()
         self.done = threading.Event()
         self.lock = threading.Lock()
+        self.cancelled = False
+
+    def cancel(self) -> None:
+        """Stop decoding this request at the next chunk boundary (e.g. a
+        host-side text stop like the reference's '###' keyword check,
+        llava/model/utils.py:26-46, matched on decoded text)."""
+        self.cancelled = True
 
     def _push(self, toks: Sequence[int]) -> None:
         with self.lock:
@@ -269,7 +276,8 @@ class ContinuousEngine:
 
     def _finished(self, h: Handle) -> bool:
         return (
-            len(h.tokens) >= h.max_new_tokens
+            h.cancelled
+            or len(h.tokens) >= h.max_new_tokens
             or (bool(h.stop_token_ids) and bool(h.tokens)
                 and h.tokens[-1] in h.stop_token_ids)
             or any(t in h.stop_token_ids for t in h.tokens[-self.chunk:])
@@ -352,6 +360,73 @@ class ContinuousEngine:
                 return
             self.step()
         raise RuntimeError("run_until_idle did not converge")
+
+
+def make_continuous_stream_fn(
+    ce: ContinuousEngine,
+    tokenizer,
+    temperature: float = 0.2,
+    max_new_tokens: int = 128,
+):
+    """Worker ``generate_stream_fn`` over a SHARED continuous batcher: each
+    HTTP request parses its image/boxes/prompt (same schema as
+    serve/launch_worker.py::build_generate_stream), submits into the slot
+    pool, and streams text as chunks land — concurrent requests decode in
+    ONE batch instead of serializing behind a semaphore (reference:
+    llava/serve/model_worker.py:168-260, one generate per request)."""
+    import time as _time
+
+    from gpt4roi_tpu.serve.chat import ChatSession
+    from gpt4roi_tpu.serve.worker import decode_image_b64
+
+    ce.start()
+
+    def generate_stream(params: Dict):
+        # transient per-request chat state: prompt template + <regionN>
+        # rewrite reuse ChatSession; generation goes through the batcher
+        cs = ChatSession(
+            ce.engine, tokenizer, temperature=temperature,
+            max_new_tokens=max_new_tokens, use_prefix_cache=False,
+        )
+        if params.get("image_b64"):
+            img = decode_image_b64(params["image_b64"])
+            cs.set_image(img)
+            if params.get("boxes"):
+                cs.add_boxes(
+                    [[b[0] * img.shape[1], b[1] * img.shape[0],
+                      b[2] * img.shape[1], b[3] * img.shape[0]] for b in params["boxes"]],
+                    img.shape[:2],
+                )
+        cs.temperature = float(params.get("temperature", temperature))
+        n_new = int(params.get("max_new_tokens", max_new_tokens))
+        prompt, boxes, mask = cs.build_prompt(params.get("prompt", ""))
+        ids = np.asarray(
+            tokenizer(prompt, truncation=True, max_length=ce.engine.ecfg.max_seq_len)["input_ids"],
+            np.int32,
+        )
+        h = ce.submit(
+            list(ids), cs.image[None], boxes, mask,
+            max_new_tokens=n_new, temperature=cs.temperature,
+        )
+        collected: List[int] = []
+        last = ""
+        while True:
+            new = h.drain_new()
+            if new:
+                collected.extend(new)
+                text = cs.decode(collected).split("###")[0].strip()
+                if "###" in cs.decode(collected):
+                    h.cancel()
+                if text != last:
+                    last = text
+                    yield text
+            if h.done.is_set() and not new:
+                break
+            _time.sleep(0.005)
+        if not last:
+            yield cs.decode(collected).split("###")[0].strip()
+
+    return generate_stream
 
 
 class ContinuousSession:

@@ -4,7 +4,11 @@ Times each stage as its own chained-jit loop (salt dependency + single host
 fetch barrier — see bench.py for the methodology rationale).
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

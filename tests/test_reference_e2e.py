@@ -45,6 +45,7 @@ def reference_run():
     sd = {k: v for k, v in model.state_dict().items()}
     sd_vt = {k: v for k, v in vt.state_dict().items()}
     return {
+        "model": model,
         "sd": sd, "sd_vt": sd_vt, "ids": ids, "img": img, "boxes": boxes,
         "logits": logits, "toks": toks,
         "tok_ids": dict(im_patch=IM_PATCH, bbox=BBOX, point=POINT,
@@ -123,3 +124,43 @@ def test_reference_end_to_end_fidelity(reference_run):
         got_tok = int(fwd(jnp.asarray(cur))[-1].argmax())
         assert got_tok == want_tok, f"greedy step {step}: {got_tok} != {want_tok}"
         cur = np.concatenate([cur, [[want_tok]]], axis=1)
+
+
+def test_reference_e2e_multiregion_cached_session(reference_run):
+    """Second fidelity sample (VERDICT r2 item 8): 3 regions, different
+    seed, TWO chat rounds. The reference side re-runs the FULL forward
+    every round (its vision-rerun guard, spi_llava.py:47-48 +
+    app.py:285-300); the JAX side serves through Engine + CachedSession —
+    vision encoded once, incremental KV extends, scan-over-layers decode
+    steps. Greedy tokens must agree token-for-token across both rounds,
+    which gates the entire serving path (prefill splice, extend masks,
+    stacked decode, cache bookkeeping) against the reference."""
+    from tests.reference_harness import make_sample, run_reference
+
+    from gpt4roi_tpu.serve.engine import Engine, EngineConfig
+
+    model = reference_run["model"]
+    ids, img, boxes = make_sample(num_boxes=3, question_len=10, seed=7)
+
+    # reference round 1: full forward, 2 greedy tokens
+    _, toks1 = run_reference(model, ids, img, boxes, greedy_steps=2)
+    # reference round 2: append round-1 output + new user tokens, full
+    # re-forward (the reference recomputes everything), 2 more tokens
+    rng = np.random.default_rng(17)
+    extra = rng.integers(5, 31000, 7).astype(np.int64)
+    ids2 = np.concatenate([ids, np.asarray([toks1]), extra[None]], axis=1)
+    _, toks2 = run_reference(model, ids2, img, boxes, greedy_steps=2)
+
+    cfg, params = build_jax_params(reference_run)
+    eng = Engine(
+        params, cfg,
+        EngineConfig(max_seq_len=448, prefill_bucket=64, compute_dtype=jnp.float32),
+    )
+    sess = eng.cached_session()
+    images = np.transpose(img, (0, 2, 3, 1))
+    sess.set_vision(images, boxes[None], np.ones((1, boxes.shape[0]), bool))
+
+    got1 = sess.append_and_generate(list(ids[0]), max_new_tokens=2, temperature=0.0)
+    assert got1 == toks1, f"round 1: {got1} != {toks1}"
+    got2 = sess.append_and_generate(list(extra), max_new_tokens=2, temperature=0.0)
+    assert got2 == toks2, f"round 2: {got2} != {toks2}"
