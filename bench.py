@@ -104,18 +104,21 @@ def measure_encode(fuse_int8: bool = False) -> float:
         )
 
         @jax.jit
-        def calibrate(params, images):
+        def calibrate(params, images, boxes, box_mask):
             _, hs = clip_vision_forward(params["clip"], images, cfg.clip, dtype)
             _, pyramid = select_image_and_pyramid_features(
                 hs, cfg.vision_select_layer, cfg.num_pyramid_levels
             )
-            return spi_mod.calibrate_fuse_act_scales(params["spi"], pyramid, cfg.spi)
+            return spi_mod.calibrate_spi_act_scales(
+                params["spi"], pyramid, boxes, box_mask, cfg.spi
+            )
 
-        scales = calibrate(params, cal_images)
-        np.asarray(scales)
+        scales = calibrate(params, cal_images, boxes, box_mask)
+        jax.tree_util.tree_map(np.asarray, scales)
         params = dict(params)
         params["spi"] = dict(params["spi"])
-        params["spi"]["fuse_act_scales"] = scales
+        params["spi"].update(scales)
+        params["spi"] = spi_mod.prequantize_spi_kernels(params["spi"])
 
     @jax.jit
     def encode(params, images, boxes, box_mask, salt):
@@ -169,7 +172,10 @@ def measure_train(timeout_s: int = 560):
     cmd = [
         sys.executable, os.path.join(here, "scripts", "bench_train.py"),
         "--stage", "stage2", "--scan_layers", "--optimizer", "adamw8bit",
-        "--param_dtype", "bfloat16", "--layers", "8", "--layers2", "4",
+        # L=4/L=2: the deepest pair whose optimizer-update transients fit
+        # one 16 GB chip beside bf16 params (stacked leaves make the
+        # dequantized f32 moment temps L-layers wide; L=8 OOMs at 20.9 G)
+        "--param_dtype", "bfloat16", "--layers", "4", "--layers2", "2",
         "--json",
     ]
     try:

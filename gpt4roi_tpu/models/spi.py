@@ -216,6 +216,38 @@ def _quant_static(x: jax.Array, s: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
 
 
+def _kernel_q(p: Params) -> Tuple[jax.Array, jax.Array]:
+    """Int8 conv kernel + per-out-channel scale: pre-quantized if present
+    (``prequantize_spi_kernels``), else quantized on the fly."""
+    if "kernel_q" in p:
+        return p["kernel_q"], p["kernel_scale"]
+    (kq,), sw = _quant_kernel_slices(p["kernel"], [p["kernel"].shape[2]])
+    return kq, sw
+
+
+def prequantize_spi_kernels(params: Params) -> Params:
+    """Serving prep: bake int8 kernels + scales for every conv the static
+    W8A8 path uses (input convs, fuse convs, RoI-head pconvs), so the
+    per-call kernel quantization passes (~9 f32 kernel reads + round
+    chains per encode) disappear. The f32 kernels stay (training source of
+    truth); the int8 copies add <40 MB at production scale."""
+
+    def bake(p):
+        p = dict(p)
+        (kq,), sw = _quant_kernel_slices(p["kernel"], [p["kernel"].shape[2]])
+        p["kernel_q"] = kq
+        p["kernel_scale"] = sw
+        return p
+
+    out = dict(params)
+    out["input_convs"] = [bake(p) for p in params["input_convs"]]
+    out["fuse_convs"] = [
+        {**fp, "conv": bake(fp["conv"])} for fp in params["fuse_convs"]
+    ]
+    out["pconvs"] = [bake(p) for p in params["pconvs"]]
+    return out
+
+
 def mlvl_fuse(
     params: Params,
     feats: List[jax.Array],
@@ -233,11 +265,33 @@ def mlvl_fuse(
     ``calibrate_fuse_act_scales``. ``collect_scales`` runs the fp path and
     additionally returns the observed (num_fuse, num_levels) conv-input
     absmaxes (the calibration measurement)."""
+    in_scales = (
+        params.get("input_act_scales")
+        if (cfg.fuse_int8 and act_scales is not None and not collect_scales)
+        else None
+    )
     levels = []
+    input_maxes = []
     for lvl, f in enumerate(feats):
         h, w = f.shape[1], f.shape[2]
         coord = jnp.broadcast_to(coordinate_grid(h, w, f.dtype), (f.shape[0], h, w, 2))
-        levels.append(_conv(params["input_convs"][lvl], jnp.concatenate([f, coord], axis=-1)))
+        x = jnp.concatenate([f, coord], axis=-1)
+        ip = params["input_convs"][lvl]
+        if in_scales is not None:
+            # static-W8A8 1x1 input conv (1026 -> 1024; ~0.4 TFLOP/batch)
+            kq, sw = _kernel_q(ip)
+            s = in_scales[lvl]
+            yi = jax.lax.conv_general_dilated(
+                _quant_static(x, s), kq, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = (yi.astype(jnp.float32) * (s * sw) + ip["bias"].astype(jnp.float32)).astype(f.dtype)
+        else:
+            if collect_scales:
+                input_maxes.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            y = _conv(ip, x)
+        levels.append(y)
 
     n = cfg.num_levels
     rc, sc = cfg.remain_channels, cfg.shuffle_channels
@@ -253,7 +307,7 @@ def mlvl_fuse(
         kern = fuse_p["conv"]["kernel"]
         mode = os.environ.get("GPT4ROI_FUSE_STATIC", "concat")
         if mode == "concat":
-            (kq_full,), sw = _quant_kernel_slices(kern, [kern.shape[2]])
+            kq_full, sw = _kernel_q(fuse_p["conv"])
         else:
             (kq_rem, kq_top, kq_down), sw = _quant_kernel_slices(
                 kern, [rc, sc, kern.shape[2] - rc - sc]
@@ -363,7 +417,7 @@ def mlvl_fuse(
                 row.append(m)
             maxes.append(jnp.stack(row))
             levels = one_round(levels, fuse_p)
-        return levels, jnp.stack(maxes)
+        return levels, (jnp.stack(maxes), jnp.stack(input_maxes))
 
     if cfg.fuse_int8 and act_scales is not None:
         for r_i, fuse_p in enumerate(params["fuse_convs"]):
@@ -396,8 +450,46 @@ def calibrate_fuse_act_scales(
         interpolate_bilinear(f, (s, s), align_corners=True)
         for f, s in zip(feats, cfg.level_sizes)
     ]
-    _, maxes = mlvl_fuse(params, feats, cfg, collect_scales=True)
+    _, (maxes, _) = mlvl_fuse(params, feats, cfg, collect_scales=True)
     return jnp.where(maxes > 0, maxes * margin / 127.0, 1.0).astype(jnp.float32)
+
+
+def calibrate_spi_act_scales(
+    params: Params,
+    mlvl_feats: Sequence[jax.Array],
+    boxes: jax.Array,
+    box_mask: jax.Array,
+    cfg: SpiConfig,
+    margin: float = 1.0,
+) -> Dict[str, jax.Array]:
+    """Full static-W8A8 calibration for the SPI serving fast path: fuse-conv
+    scales (num_fuse, num_levels) AND per-level RoI-head pconv input scales
+    (num_levels,). Merge the returned dict into the spi params to activate
+    both int8 stages in :func:`spi_forward` (the 4 per-level 3x3 pconvs are
+    ~3.8 TFLOP per 256-region batch — the second-largest MXU consumer after
+    the fuse pyramid; reference op: gpt4roi/models/layers.py:275-316)."""
+    b = mlvl_feats[0].shape[0]
+    g, c = cfg.base_grid, cfg.embed_dims
+    feats = [f.reshape(b, g, g, c) for f in mlvl_feats]
+    feats = [
+        interpolate_bilinear(f, (s, s), align_corners=True)
+        for f, s in zip(feats, cfg.level_sizes)
+    ]
+    fused, (maxes, in_maxes) = mlvl_fuse(params, feats, cfg, collect_scales=True)
+    scaled = boxes.astype(jnp.float32) * cfg.image_size
+    head_maxes = []
+    for lvl in range(cfg.num_levels):
+        rf = _roi_align(
+            fused[lvl], scaled, box_mask, cfg.roi_output_size,
+            1.0 / cfg.strides[lvl], cfg.sampling_ratio,
+        )
+        head_maxes.append(jnp.max(jnp.abs(rf.astype(jnp.float32))))
+    to_scale = lambda m: jnp.where(m > 0, m * margin / 127.0, 1.0).astype(jnp.float32)
+    return {
+        "fuse_act_scales": to_scale(maxes),
+        "pconv_act_scales": to_scale(jnp.stack(head_maxes)),
+        "input_act_scales": to_scale(in_maxes),
+    }
 
 
 def box_position_embedding(params: Params, boxes: jax.Array) -> jax.Array:
@@ -432,6 +524,11 @@ def spi_forward(
     pos = box_position_embedding(params, flat_boxes)
     scaled = boxes.astype(jnp.float32) * cfg.image_size  # (B, R, 4)
 
+    # serving fast path: W8A8 per-level pconvs with calibrated static
+    # activation scales (the 4 convs are ~3.8 TFLOP per 256-region batch;
+    # int8 MXU runs them ~1.8x the bf16 rate on v5e)
+    int8_heads = cfg.fuse_int8 and "pconv_act_scales" in params
+
     acc = None
     for lvl in range(cfg.num_levels):
         rf = _roi_align(
@@ -444,8 +541,19 @@ def spi_forward(
         )
         # (B, R, oh, ow, C) fp32 align, cast back (layers.py:310-313)
         rf = rf.reshape(b * r, cfg.roi_output_size, cfg.roi_output_size, cfg.embed_dims)
-        rf = rf.astype(feats[lvl].dtype)
-        y = _conv(params["pconvs"][lvl], rf)
+        if int8_heads:
+            kq, sw = _kernel_q(params["pconvs"][lvl])
+            s = params["pconv_act_scales"][lvl]
+            yi = jax.lax.conv_general_dilated(
+                _quant_static(rf, s), kq, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = yi.astype(jnp.float32) * (s * sw) + params["pconvs"][lvl]["bias"].astype(jnp.float32)
+            y = y.astype(feats[lvl].dtype)
+        else:
+            rf = rf.astype(feats[lvl].dtype)
+            y = _conv(params["pconvs"][lvl], rf)
         acc = y if acc is None else acc + y
     fused = jax.nn.relu(acc)
     # flatten in (C, h, w) order to match the reference's NCHW flatten(1)

@@ -128,6 +128,9 @@ class ContinuousEngine:
 
         self.queue: collections.deque = collections.deque()
         self.lock = threading.Lock()
+        self._step_lock = threading.Lock()  # one step() at a time (the
+        # background thread and direct callers must not interleave device
+        # work / slot mutation)
         self.wake = threading.Event()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -303,6 +306,10 @@ class ContinuousEngine:
     def step(self) -> bool:
         """Admit queued jobs, run one decode chunk. Returns True if any
         device work happened (False = idle)."""
+        with self._step_lock:
+            return self._step()
+
+    def _step(self) -> bool:
         admitted = False
         while True:
             with self.lock:

@@ -116,7 +116,7 @@ def main() -> None:
         cal_images = jnp.asarray(rng.standard_normal((B, 224, 224, 3), dtype=np.float32), dtype)
 
         @jax.jit
-        def calibrate(params, images):
+        def calibrate(params, images, boxes, box_mask):
             from gpt4roi_tpu.models.gpt4roi import select_image_and_pyramid_features
             from gpt4roi_tpu.models.clip_vit import clip_vision_forward
 
@@ -124,13 +124,16 @@ def main() -> None:
             _, pyramid = select_image_and_pyramid_features(
                 hs, cfg8.vision_select_layer, cfg8.num_pyramid_levels
             )
-            return spi_mod.calibrate_fuse_act_scales(params["spi"], pyramid, cfg8.spi)
+            return spi_mod.calibrate_spi_act_scales(
+                params["spi"], pyramid, boxes, box_mask, cfg8.spi
+            )
 
-        scales = calibrate(params, cal_images)
-        np.asarray(scales)
+        scales = calibrate(params, cal_images, boxes, box_mask)
+        jax.tree_util.tree_map(np.asarray, scales)
         p2 = dict(params)
         p2["spi"] = dict(params["spi"])
-        p2["spi"]["fuse_act_scales"] = scales
+        p2["spi"].update(scales)
+        p2["spi"] = spi_mod.prequantize_spi_kernels(p2["spi"])
         rs, ms = run(cfg8, p2)
         print(f"static: {rs:8.1f} regions/s  ({ms:.1f} ms/batch)", flush=True)
 

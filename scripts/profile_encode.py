@@ -32,17 +32,27 @@ def timeit(fn, args, n=20, label=""):
 
 
 def main():
+    import argparse
+    import dataclasses
+
     from gpt4roi_tpu.models.clip_vit import ClipVisionConfig, init_clip_params, clip_vision_forward
     from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, encode_vision, select_image_and_pyramid_features
     from gpt4roi_tpu.models.llama import LlamaConfig
     import gpt4roi_tpu.models.spi as spi_mod
     from gpt4roi_tpu.ops.interp import interpolate_bilinear
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the static-calibrated W8A8 serving path")
+    args = ap.parse_args()
+
     dtype = jnp.bfloat16
     cfg = Gpt4RoiConfig(
         clip=ClipVisionConfig.vit_l_14(),
         llama=LlamaConfig(num_layers=1, vocab_size=32006),
     )
+    if args.int8:
+        cfg = dataclasses.replace(cfg, spi=dataclasses.replace(cfg.spi, fuse_int8=True))
     key = jax.random.PRNGKey(0)
     params = {
         "clip": init_clip_params(key, cfg.clip, dtype),
@@ -60,6 +70,26 @@ def main():
     xy = rng.random((BATCH, REGIONS, 2), dtype=np.float32) * 0.45
     boxes = jnp.asarray(np.concatenate([xy, np.minimum(xy + wh + 0.05, 1.0)], -1))
     box_mask = jnp.ones((BATCH, REGIONS), bool)
+
+    if args.int8:
+        cal_images = jnp.asarray(
+            rng.standard_normal((BATCH, 224, 224, 3), dtype=np.float32), dtype
+        )
+
+        @jax.jit
+        def calibrate(params, images, boxes, box_mask):
+            _, hs = clip_vision_forward(params["clip"], images, cfg.clip, dtype)
+            _, pyr = select_image_and_pyramid_features(
+                hs, cfg.vision_select_layer, cfg.num_pyramid_levels
+            )
+            return spi_mod.calibrate_spi_act_scales(params["spi"], pyr, boxes, box_mask, cfg.spi)
+
+        scales = calibrate(params, cal_images, boxes, box_mask)
+        jax.tree_util.tree_map(np.asarray, scales)
+        params = dict(params)
+        params["spi"] = dict(params["spi"])
+        params["spi"].update(scales)
+        params["spi"] = spi_mod.prequantize_spi_kernels(params["spi"])
 
     # ---- full path
     @jax.jit

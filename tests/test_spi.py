@@ -197,3 +197,47 @@ def test_fuse_int8_matches_bf16_class(cfg, rng):
     assert rel < 0.05, rel
     # and it is actually a different path (int8 rounding visible)
     assert rel > 1e-6
+
+
+def test_static_scale_int8_matches_bf16_class(cfg, rng):
+    """Serving fast path with CALIBRATED static activation scales (fuse
+    convs collapsed to one int8 conv per level + W8A8 RoI-head pconvs)
+    stays within the int8 numeric class of the fp path; calibration runs
+    on a DIFFERENT batch than the evaluation."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from gpt4roi_tpu.models.spi import (
+        calibrate_spi_act_scales,
+        init_spi_params,
+        spi_forward,
+    )
+
+    params = init_spi_params(jax.random.PRNGKey(0), cfg)
+    b, r = 2, 3
+    def mk_feats():
+        return [
+            jnp.asarray(rng.standard_normal((b, cfg.base_grid**2, cfg.embed_dims)), jnp.float32)
+            for _ in range(cfg.num_levels)
+        ]
+    feats = mk_feats()
+    boxes = jnp.asarray(rng.random((b, r, 4)).astype(np.float32) * 0.4 + 0.1)
+    boxes = boxes.at[..., 2:].add(0.3)
+    mask = jnp.ones((b, r), bool)
+
+    want = np.asarray(spi_forward(params, feats, boxes, mask, cfg))
+    cfg8 = dataclasses.replace(cfg, fuse_int8=True)
+    scales = calibrate_spi_act_scales(params, mk_feats(), boxes, mask, cfg8)
+    assert scales["fuse_act_scales"].shape == (cfg.num_fuse, cfg.num_levels)
+    assert scales["pconv_act_scales"].shape == (cfg.num_levels,)
+    assert scales["input_act_scales"].shape == (cfg.num_levels,)
+    from gpt4roi_tpu.models.spi import prequantize_spi_kernels
+
+    p2 = dict(params)
+    p2.update(scales)
+    p2 = prequantize_spi_kernels(p2)
+    got = np.asarray(spi_forward(p2, feats, boxes, mask, cfg8))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.05, rel
+    assert rel > 1e-6  # actually the int8 path
