@@ -89,11 +89,17 @@ def make_batch(cfg, b, s, r):
 
 
 def measure_depth(args, layers, dtype, param_dtype, k):
-    """Warm, then time K and 2K scanned steps; return (step_s, loss)."""
+    """Time K and 2K scanned steps; return (step_s, loss).
+
+    K and 2K are DIFFERENT compiled programs (static scan length), so both
+    must be warmed before timing — subtracting only cancels the dispatch
+    constant, not a compile."""
     cfg, state, jit_multi = build_step(args, layers, dtype, param_dtype)
     batch = make_batch(cfg, args.batch, args.seq, args.regions)
-    state, losses = jit_multi(state, batch, 1)
-    float(np.asarray(losses)[-1])  # compile barrier
+    state, losses = jit_multi(state, batch, k)
+    float(np.asarray(losses)[-1])  # compile barrier (K program)
+    state, losses = jit_multi(state, batch, 2 * k)
+    float(np.asarray(losses)[-1])  # compile barrier (2K program)
     t0 = time.perf_counter()
     state, losses = jit_multi(state, batch, k)
     float(np.asarray(losses)[-1])
