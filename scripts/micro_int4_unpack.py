@@ -35,40 +35,47 @@ import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _unpack_cols(w_pk: jax.Array) -> jax.Array:
-    """(IN, OB2) packed int8 -> (IN, 2*OB2) int8; byte j holds output
-    columns 2j (low nibble, offset-8) and 2j+1 (high nibble, signed)."""
+def _unpack_halves(w_pk: jax.Array):
+    """(IN, OB2) packed int8 -> two (IN, OB2) int8 halves; byte j holds
+    output column j (low nibble) and j + OUT/2 (high nibble), both stored
+    offset-8 unsigned. BLOCK layout, not interleaved: Mosaic cannot lower a
+    stride-2 lane interleave ((IN, OB2, 2) -> (IN, OB)) — 'unsupported
+    shape cast' — but disjoint column blocks need no reshape at all."""
     w32 = w_pk.astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(w32, 28), jnp.int32(28)
-    ) + 8  # stored as (w_lo - 8) in [-8, 7]
-    hi = jax.lax.shift_right_arithmetic(w32, jnp.int32(4))
-    inter = jnp.stack([lo, hi], axis=-1)  # (IN, OB2, 2)
-    return inter.reshape(w_pk.shape[0], -1).astype(jnp.int8)
+    lo = (w32 & 0xF) - 8
+    hi = ((jax.lax.shift_right_arithmetic(w32, jnp.int32(4))) & 0xF) - 8
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
 def _w4a8_kernel(x_ref, q_ref, s_ref, o_ref):
-    w = _unpack_cols(q_ref[...])  # (IN, OB) int8 in VMEM
-    acc = jax.lax.dot_general(
-        x_ref[...], w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    o_ref[...] = acc.astype(jnp.float32) * s_ref[...]
+    lo, hi = _unpack_halves(q_ref[...])  # 2x (IN, OB/2) int8 in VMEM
+    half = q_ref.shape[1]
+    dn = (((1,), (0,)), ((), ()))
+    acc_lo = jax.lax.dot_general(x_ref[...], lo, dn, preferred_element_type=jnp.int32)
+    acc_hi = jax.lax.dot_general(x_ref[...], hi, dn, preferred_element_type=jnp.int32)
+    o_ref[:, :half] = acc_lo.astype(jnp.float32) * s_ref[:, :half]
+    o_ref[:, half:] = acc_hi.astype(jnp.float32) * s_ref[:, half:]
 
 
 def _unpack_only_kernel(q_ref, o_ref):
-    w = _unpack_cols(q_ref[...])
+    lo, hi = _unpack_halves(q_ref[...])
     # tiny reduction so the unpack cannot be elided
-    o_ref[...] = jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)[:, :128]
+    s = jnp.sum(lo.astype(jnp.int32), axis=0, keepdims=True) + jnp.sum(
+        hi.astype(jnp.int32), axis=0, keepdims=True
+    )
+    o_ref[...] = s[:, :128]
 
 
 def pack_int4(w: np.ndarray):
-    """Quantize (in, out) f32 -> per-out-channel int4, packed 2 cols/byte."""
+    """Quantize (in, out) f32 -> per-out-channel int4, packed 2 cols/byte
+    in block layout: byte j = col j (low nibble) | col j+out/2 (high),
+    both offset-8."""
     amax = np.abs(w).max(axis=0)
     scale = np.where(amax > 0, amax / 7.0, 1.0)
     q = np.clip(np.round(w / scale), -8, 7).astype(np.int32)
-    lo = (q[:, 0::2] + 8) & 0xF  # offset nibble
-    hi = q[:, 1::2] & 0xF
+    half = q.shape[1] // 2
+    lo = (q[:, :half] + 8) & 0xF
+    hi = (q[:, half:] + 8) & 0xF
     packed = (lo | (hi << 4)).astype(np.uint8).view(np.int8)
     return packed, scale.astype(np.float32)
 
