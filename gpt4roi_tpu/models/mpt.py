@@ -163,8 +163,9 @@ def mpt_forward(
             v = jnp.pad(v, pad)
         return x + y, (k, v)
 
-    if remat:
-        block = jax.checkpoint(block)
+    from gpt4roi_tpu.models.llama import apply_remat
+
+    block = apply_remat(block, remat)
 
     scan_layers = scan_layers or "layers" not in params
     if scan_layers:

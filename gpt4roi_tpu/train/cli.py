@@ -41,6 +41,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument(
+        "--remat", default="full", choices=["full", "dots", "none"],
+        help="gradient-checkpointing policy: full = reference "
+        "--gradient_checkpointing; dots = save matmul outputs, recompute "
+        "elementwise/attention only (faster, more activation memory)")
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--tiny_model", action="store_true", help="debug: tiny config")
     p.add_argument("--max_steps", type=int, default=0, help="debug: stop early")
@@ -227,6 +232,7 @@ def main(argv=None) -> None:
         warmup_ratio=args.warmup_ratio,
         total_steps=total_steps,
         optimizer=args.optimizer,
+        remat=args.remat,
     )
     compute_dtype = jnp.bfloat16 if args.bf16 and jax.default_backend() == "tpu" else jnp.float32
     jit_step, init_state, _ = make_sharded_train_step(

@@ -79,7 +79,7 @@ def make_train_step(
     packed: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     loss = packed_loss_fn if packed else loss_fn
-    loss = functools.partial(loss, stage=tcfg.stage)
+    loss = functools.partial(loss, stage=tcfg.stage, remat=getattr(tcfg, "remat", "full"))
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         loss_val, grads = jax.value_and_grad(loss)(state.params, cfg, batch, compute_dtype)

@@ -41,6 +41,13 @@ class TrainConfig:
     # 'adamw' or 'adamw8bit' (blockwise int8 moments — the reference's
     # bitsandbytes Adam8bit / low-memory branch, llava_trainer.py:133-157)
     optimizer: str = "adamw"
+    # gradient checkpointing policy per decoder layer (models/llama.py::
+    # apply_remat): "full" = the reference's --gradient_checkpointing
+    # (train_stage2.sh:53 — save layer inputs, recompute everything, ~+2PD
+    # FLOPs/token); "dots" = save weight-matmul outputs, recompute only
+    # elementwise + attention (near-zero extra FLOPs, ~2x activation bytes);
+    # "none" = no remat. bool kept for backward compat (True == "full").
+    remat: Any = "full"
 
 
 def param_labels(params: Any, stage: str) -> Any:

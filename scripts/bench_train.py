@@ -48,7 +48,7 @@ def build_step(args, layers: int, dtype, param_dtype):
         params["llama"] = to_stacked_params(params["llama"])
     tcfg = TrainConfig(
         stage=args.stage, learning_rate=2e-5, total_steps=100, warmup_steps=0,
-        optimizer=args.optimizer,
+        optimizer=args.optimizer, remat=args.remat,
     )
     tx = make_optimizer(tcfg, params)
     state = create_train_state(params, tcfg)
@@ -124,6 +124,7 @@ def main():
     p.add_argument("--k", type=int, default=3, help="steps per timed dispatch")
     p.add_argument("--scan_layers", action="store_true")
     p.add_argument("--optimizer", default="adamw", choices=["adamw", "adamw8bit"])
+    p.add_argument("--remat", default="full", choices=["full", "dots", "none"])
     p.add_argument("--param_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--full_layers", type=int, default=32)
     p.add_argument("--json", action="store_true")
@@ -143,6 +144,7 @@ def main():
     t1, loss1 = measure_depth(args, args.layers, dtype, param_dtype, args.k)
     out = {
         "stage": args.stage,
+        "remat": args.remat,
         "batch": args.batch,
         "seq": args.seq,
         "regions": args.regions,

@@ -87,6 +87,29 @@ def test_stage2_llama_updates_clip_frozen(tiny, rng):
     assert d_clip == 0
 
 
+def test_remat_policies_identical_grads(tiny, rng):
+    """"full"/"dots"/True remat change scheduling only — grads must be
+    bitwise identical to no-remat (reference: --gradient_checkpointing,
+    train_stage2.sh:53; policy plumbing models/llama.py::apply_remat)."""
+    import functools
+
+    from gpt4roi_tpu.train.loop import loss_fn
+
+    cfg, params = tiny
+    batch = batch_dict(cfg, rng)
+    grads = {}
+    for mode in ("none", "full", "dots", True):
+        f = functools.partial(loss_fn, remat=mode, stage="stage2")
+        loss, g = jax.value_and_grad(f)(params, cfg, batch, jnp.float32)
+        assert np.isfinite(float(loss))
+        grads[mode] = g
+    for mode in ("full", "dots", True):
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), grads["none"], grads[mode]
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) == 0.0, mode
+
+
 def test_loss_decreases(tiny, rng):
     cfg, params = tiny
     tcfg = TrainConfig(stage="stage2", learning_rate=5e-3, total_steps=30, warmup_steps=0)
