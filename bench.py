@@ -164,7 +164,7 @@ def measure_decode(batch: int, timeout_s: int = 560):
     return None
 
 
-def measure_train(timeout_s: int = 560):
+def measure_train(timeout_s: int = 1100):
     """Run scripts/bench_train.py in a bounded subprocess (stage-2,
     scan-layers + remat + int8 AdamW; 32-layer step extrapolated from two
     measured depths — BASELINE.md train anchor section)."""
@@ -176,7 +176,10 @@ def measure_train(timeout_s: int = 560):
         # one 16 GB chip beside bf16 params (stacked leaves make the
         # dequantized f32 moment temps L-layers wide; L=8 OOMs at 20.9 G)
         "--param_dtype", "bfloat16", "--layers", "4", "--layers2", "2",
-        "--json",
+        # dots remat: measured within 1.5% of the no-remat floor at L=4
+        # while full remat pays ~8 ms/layer of recompute (BASELINE.md
+        # train-anchor table)
+        "--remat", "dots", "--json",
     ]
     try:
         proc = subprocess.run(
