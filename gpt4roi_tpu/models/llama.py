@@ -102,9 +102,14 @@ def apply_remat(fn, remat):
     ``remat`` may be False/None (no remat), True or "full" (the reference's
     --gradient_checkpointing: save only layer inputs, recompute everything —
     costs ~2PD extra FLOPs per token on top of the 6PD fwd+bwd), or "dots"
-    (save weight-matmul outputs, recompute only elementwise/attention ops —
-    near-zero extra FLOPs for ~2x the saved-activation bytes; the right
-    default on HBM-rich sharded meshes where the step is MXU-bound)."""
+    (save weight-matmul outputs plus the flash-attention output, recompute
+    only elementwise ops — near-zero extra FLOPs for ~2x the
+    saved-activation bytes; the right default on HBM-rich sharded meshes
+    where the step is MXU-bound). Also saving the flash-attention output
+    via a named checkpoint (save_only_these_names("attn_out") union) was
+    measured slightly SLOWER at stage-2 shape (576.4 vs 570.7 ms, L=4) —
+    the flash-forward recompute is cheaper than the scheduling hit, so the
+    policy stays plain dots."""
     if not remat or remat == "none":
         return fn
     policy = (

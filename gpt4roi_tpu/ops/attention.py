@@ -89,10 +89,13 @@ def _flash_kernel(seg_q_ref, seg_k_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_r
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # QK^T in the stored dtype (bf16 on TPU) with fp32 accumulation:
+        # upcasting the operands first would push the matmul onto the fp32
+        # MXU pipe at ~1/8 the bf16 rate (f32 CPU inputs are unaffected —
+        # the dot already ran in f32 there)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * scale  # (bq, bk)
         qi = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         kj = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -136,10 +139,15 @@ def flash_attention(
     v: jax.Array,
     segment_ids: Optional[jax.Array] = None,  # (B, S) int; 0 may be padding
     causal: bool = True,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 512,
 ) -> jax.Array:
     """Pallas blockwise (flash) attention for TPU; self-attention Sq == Sk.
+
+    Default blocks are 1024x512: the 256x256 blocking left the kernel
+    grid-overhead-bound (measured 11.4 -> 5.9 ms fwd+bwd at b2 s2048 h32
+    d128 bf16 on v5e; scripts/micro_flash.py sweep). Blocks shrink
+    per-call until they divide S.
 
     Fully Pallas differentiable: the forward kernel saves per-row
     log-sum-exp; the backward runs two blockwise kernels (dq pass and
@@ -165,6 +173,15 @@ def _flash_bwd(causal, block_q, block_k, res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _fit_block(block: int, s: int) -> int:
+    """Largest power-of-two block <= ``block`` that divides ``s``
+    (callers guarantee s % 256 == 0 or s itself a power of two)."""
+    block = min(block, s)
+    while s % block:
+        block //= 2
+    return block
+
+
 @functools.partial(
     jax.jit, static_argnames=("causal", "block_q", "block_k")
 )
@@ -174,17 +191,16 @@ def _flash_attention_impl(
     v: jax.Array,
     segment_ids: Optional[jax.Array] = None,  # (B, S) int; 0 may be padding
     causal: bool = True,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 512,
 ) -> jax.Array:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, s, n, d = q.shape
     assert k.shape == v.shape == (b, s, n, d)
-    block_q = min(block_q, s)
-    block_k = min(block_k, s)
-    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
+    block_q = _fit_block(block_q, s)
+    block_k = _fit_block(block_k, s)
     if segment_ids is None:
         segment_ids = jnp.zeros((b, s), jnp.int32)
 
@@ -247,10 +263,12 @@ def _flash_dq_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # all dots run in the stored dtype (bf16 on TPU, f32 in CPU tests)
+        # with fp32 accumulation — see the forward-kernel note; ds/p are
+        # cast back down for the MXU, the standard flash-bwd precision
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * scale
         qi = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         kj = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -258,14 +276,14 @@ def _flash_dq_kernel(
             s = jnp.where(kj <= qi, s, _NEG_INF)
         s = jnp.where(seg_q_ref[0] == seg_k_ref[0], s, _NEG_INF)
         p = jnp.exp(s - lse_ref[0])  # (bq, bk)
-        do = do_ref[0].astype(jnp.float32)
         dp = jax.lax.dot_general(
-            do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
         ds = p * (dp - dsum_ref[0]) * scale
         dq_acc[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(kb == pl.num_programs(2) - 1)
@@ -296,10 +314,10 @@ def _flash_dkv_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # stored-dtype dots with fp32 accumulation (see forward-kernel note)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * scale  # (bq, bk)
         qi = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         kj = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -307,19 +325,20 @@ def _flash_dkv_kernel(
             s = jnp.where(kj <= qi, s, _NEG_INF)
         s = jnp.where(seg_q_ref[0] == seg_k_ref[0], s, _NEG_INF)
         p = jnp.exp(s - lse_ref[0])  # (bq, bk); lse sublane-oriented (bq, 1)
-        do = do_ref[0].astype(jnp.float32)  # (bq, d)
         # dv += p^T do
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
-            do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
         ds = p * (dp - dsum_ref[0]) * scale
         # dk += ds^T q
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(qb == pl.num_programs(2) - 1)
@@ -330,14 +349,14 @@ def _flash_dkv_kernel(
 
 @functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
 def _flash_attention_bwd_impl(
-    q, k, v, segment_ids, out, lse, g, causal=True, block_q=256, block_k=256
+    q, k, v, segment_ids, out, lse, g, causal=True, block_q=1024, block_k=512
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, s, n, d = q.shape
-    block_q = min(block_q, s)
-    block_k = min(block_k, s)
+    block_q = _fit_block(block_q, s)
+    block_k = _fit_block(block_k, s)
     if segment_ids is None:
         segment_ids = jnp.zeros((b, s), jnp.int32)
     scale = 1.0 / math.sqrt(d)
