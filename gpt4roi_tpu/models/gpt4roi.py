@@ -134,9 +134,17 @@ def encode_vision(
     boxes: jax.Array,  # (B, R, 4) normalised
     box_mask: jax.Array,  # (B, R)
     compute_dtype=jnp.float32,
+    remat="full",
 ) -> Tuple[jax.Array, jax.Array]:
     """Frozen CLIP encode -> (projected image tokens (B, 256, D_lm),
-    SPI region queries (B, R, D_lm))."""
+    SPI region queries (B, R, D_lm)).
+
+    ``remat`` follows apply_remat semantics (models/llama.py): "full"
+    checkpoints each SPI fuse round (the reference's training memory
+    profile); "dots"/"none" skip the round checkpoint — the recompute
+    costs a measured ~57 ms/step at stage-2 shape (micro_fuse_bwd.py)
+    against ~1.5 GB of saved round activations. Inference is unaffected
+    either way (checkpoint is transparent without differentiation)."""
     _, hidden_states = clip_vision_forward(params["clip"], images, cfg.clip, compute_dtype)
     hidden_states = [jax.lax.stop_gradient(h) for h in hidden_states]
     image_tokens, pyramid = select_image_and_pyramid_features(
@@ -146,7 +154,7 @@ def encode_vision(
     image_feats = image_tokens @ proj["kernel"].astype(image_tokens.dtype) + proj["bias"].astype(
         image_tokens.dtype
     )
-    spi_feats = spi_forward(params["spi"], pyramid, boxes, box_mask, cfg.spi)
+    spi_feats = spi_forward(params["spi"], pyramid, boxes, box_mask, cfg.spi, remat=remat)
     return image_feats, spi_feats
 
 
@@ -162,9 +170,12 @@ def build_input_embeds(
     boxes: jax.Array,
     box_mask: jax.Array,
     compute_dtype=jnp.float32,
+    remat="full",
 ) -> jax.Array:
     embeds = decoder_params(params, cfg)["embed"]["embedding"][input_ids].astype(compute_dtype)
-    image_feats, spi_feats = encode_vision(params, cfg, images, boxes, box_mask, compute_dtype)
+    image_feats, spi_feats = encode_vision(
+        params, cfg, images, boxes, box_mask, compute_dtype, remat=remat
+    )
     patch_mask = input_ids == cfg.im_patch_token_id
     embeds = masked_scatter_embeds(embeds, patch_mask, image_feats)
     bbox_mask = input_ids == cfg.bbox_token_id
@@ -187,7 +198,9 @@ def gpt4roi_forward(
     remat: bool = False,
 ):
     """Full forward. Returns dict with logits, loss (if labels), kv (opt)."""
-    embeds = build_input_embeds(params, cfg, input_ids, images, boxes, box_mask, compute_dtype)
+    embeds = build_input_embeds(
+        params, cfg, input_ids, images, boxes, box_mask, compute_dtype, remat=remat
+    )
     if cfg.decoder_type == "mpt":
         from gpt4roi_tpu.models.mpt import mpt_forward
 
@@ -231,7 +244,8 @@ def gpt4roi_forward_packed(
     ids = batch["input_ids"]
     seg = batch["segment_ids"]
     image_feats, spi_feats = encode_vision(
-        params, cfg, batch["images"], batch["boxes"], batch["box_mask"], compute_dtype
+        params, cfg, batch["images"], batch["boxes"], batch["box_mask"], compute_dtype,
+        remat=remat,
     )
     d = image_feats.shape[-1]
     flat_img = image_feats.reshape(-1, d)

@@ -254,6 +254,7 @@ def mlvl_fuse(
     cfg: SpiConfig,
     act_scales: jax.Array | None = None,
     collect_scales: bool = False,
+    remat="full",
 ):
     """Coordinate concat + input convs + num_fuse shuffle rounds.
 
@@ -394,9 +395,13 @@ def mlvl_fuse(
             new_levels.append(jax.nn.relu(y))
         return new_levels
 
-    # remat per shuffle round: the fuse pyramid's activations dominate SPI
-    # training memory (5 rounds x 4 levels of up-to-128^2x1024 maps)
-    one_round = jax.checkpoint(one_round)
+    # remat per shuffle round under "full" only: the fuse pyramid's
+    # activations dominate SPI training memory (5 rounds x 4 levels of
+    # up-to-128^2x1024 maps), but the round recompute costs a measured
+    # ~57 ms/step at stage-2 shape (scripts/micro_fuse_bwd.py) — under
+    # "dots"/"none" the ~1.5 GB of round activations are kept instead
+    if remat in ("full", True):
+        one_round = jax.checkpoint(one_round)
 
     if collect_scales:
         # calibration: fp rounds, recording each round's per-target-level
@@ -508,8 +513,11 @@ def spi_forward(
     boxes: jax.Array,  # (B, R, 4) normalised [0, 1] x1 y1 x2 y2
     box_mask: jax.Array,  # (B, R) bool — True for real boxes
     cfg: SpiConfig,
+    remat="full",
 ) -> jax.Array:
-    """Region queries (B, R, out_dims); padded slots are exact zeros."""
+    """Region queries (B, R, out_dims); padded slots are exact zeros.
+
+    ``remat`` controls the per-fuse-round checkpoint (see mlvl_fuse)."""
     b, r = boxes.shape[0], boxes.shape[1]
     g = cfg.base_grid
     c = cfg.embed_dims
@@ -518,7 +526,9 @@ def spi_forward(
         interpolate_bilinear(f, (s, s), align_corners=True)
         for f, s in zip(feats, cfg.level_sizes)
     ]
-    feats = mlvl_fuse(params, feats, cfg, act_scales=params.get("fuse_act_scales"))
+    feats = mlvl_fuse(
+        params, feats, cfg, act_scales=params.get("fuse_act_scales"), remat=remat
+    )
 
     flat_boxes = boxes.reshape(b * r, 4).astype(jnp.float32)
     pos = box_position_embedding(params, flat_boxes)
