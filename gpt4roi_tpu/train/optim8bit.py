@@ -98,6 +98,16 @@ def _is_embedding_path(path) -> bool:
     return False
 
 
+# stacked-leaf leading-axis scan: leaves at least this many elements with
+# ndim>=3 (scan-over-layers stacking puts the layer axis first) update via
+# lax.map over axis 0, shrinking the dequantized f32 moment transients from
+# L-layers wide to 1-layer wide. Same math as the flat path: per-slice
+# sizes of every stacked matrix are multiples of BLOCK, so block boundaries
+# never straddle the layer axis (guarded below); results agree to XLA
+# fusion rounding (~1e-5 on the transcendentals — tests/test_optim8bit.py).
+SCAN_MIN_SIZE = 2**24
+
+
 def scale_by_adam_8bit(
     b1: float = 0.9,
     b2: float = 0.999,
@@ -127,19 +137,56 @@ def scale_by_adam_8bit(
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
 
-        def upd_leaf(path, g, mu, nu):
-            g32 = g.astype(jnp.float32)
-            if isinstance(mu, _QMoment):
-                m = _dequantize_signed(mu, g.shape, g.size)
-                v = _dequantize_log(nu, g.shape, g.size)
-            else:
-                m, v = mu, nu
+        def adam_math(m, v, g32):
             m = b1 * m + (1.0 - b1) * g32
             v = b2 * v + (1.0 - b2) * g32 * g32
             step = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-            if isinstance(mu, _QMoment):
-                return step.astype(g.dtype), _quantize_signed(m, g.size), _quantize_log(v, g.size)
-            return step.astype(g.dtype), m, v
+            return m, v, step
+
+        def upd_leaf(path, g, mu, nu):
+            if not isinstance(mu, _QMoment):
+                m, v, step = adam_math(mu, nu, g.astype(jnp.float32))
+                return step.astype(g.dtype), m, v
+            slice_size = g.size // g.shape[0]
+            if (
+                g.ndim >= 3
+                and g.shape[0] > 1
+                and g.size >= SCAN_MIN_SIZE
+                and slice_size % BLOCK == 0
+            ):
+                # per-layer update on a stacked leaf: f32 transients are
+                # 1/L the leaf, unlocking L=8..32 on one 16 GB chip
+                layers = g.shape[0]
+                nb = mu.q.shape[0] // layers
+
+                def body(xs):
+                    g_l, mq, ms, nq, ns = xs
+                    m = _dequantize_signed(_QMoment(mq, ms), g_l.shape, slice_size)
+                    v = _dequantize_log(_QMoment(nq, ns), g_l.shape, slice_size)
+                    m, v, step = adam_math(m, v, g_l.astype(jnp.float32))
+                    qm = _quantize_signed(m, slice_size)
+                    qv = _quantize_log(v, slice_size)
+                    return step.astype(g.dtype), qm.q, qm.scale, qv.q, qv.scale
+
+                step, mq, ms, nq, ns = jax.lax.map(
+                    body,
+                    (
+                        g,
+                        mu.q.reshape(layers, nb, BLOCK),
+                        mu.scale.reshape(layers, nb, 1),
+                        nu.q.reshape(layers, nb, BLOCK),
+                        nu.scale.reshape(layers, nb, 1),
+                    ),
+                )
+                return (
+                    step,
+                    _QMoment(mq.reshape(-1, BLOCK), ms.reshape(-1, 1)),
+                    _QMoment(nq.reshape(-1, BLOCK), ns.reshape(-1, 1)),
+                )
+            m = _dequantize_signed(mu, g.shape, g.size)
+            v = _dequantize_log(nu, g.shape, g.size)
+            m, v, step = adam_math(m, v, g.astype(jnp.float32))
+            return step.astype(g.dtype), _quantize_signed(m, g.size), _quantize_log(v, g.size)
 
         # traversal follows ``updates``; flatten_up_to leaves mu/nu's
         # _QMoment nodes intact at updates' leaf positions

@@ -47,10 +47,16 @@ def chain_time(fn, args, n=8, label=""):
     return dt
 
 
-def tree_dot(tree, seed=3):
-    # consume every grad leaf so XLA cannot dead-code any of the backward
+def tree_dot(tree):
+    # consume every leaf so XLA cannot dead-code any of the backward; the
+    # coefficient is never zero (an i%7-3 style coefficient is exactly 0
+    # for every 7th leaf, letting XLA drop those contributions)
     leaves = jax.tree_util.tree_leaves(tree)
-    return sum(jnp.sum(l.astype(jnp.float32)) * ((i % 7) - 3) for i, l in enumerate(leaves))
+    return sum(
+        jnp.sum(l.astype(jnp.float32)) * ((i % 7) + 1)
+        for i, l in enumerate(leaves)
+        if hasattr(l, "astype")
+    )
 
 
 def make_step(cfg, remat, use_flash, with_opt):
@@ -82,7 +88,11 @@ def make_step(cfg, remat, use_flash, with_opt):
         loss, grads = jax.value_and_grad(loss_fn)(params, embeds, seg)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return loss + tree_dot(params) * 1e-30
+        # consume the NEW opt_state too: the 8-bit re-quantize of both
+        # moments writes only into opt_state, so without this XLA would
+        # dead-code the quantize half of the round-trip and the
+        # grad+adamw8bit slope would understate the optimizer cost
+        return loss + tree_dot(params) * 1e-30 + tree_dot(opt_state) * 1e-30
 
     return step, tx
 

@@ -96,7 +96,15 @@ def full_update(label, use_bits):
     def step(g, state, salt):
         gg = {"w": g + (salt * 1e-30).astype(g.dtype)}
         steps, st = tx.update(gg, state)
-        return jnp.sum(steps["w"].astype(jnp.float32)) * 1e-30 + jnp.sum(st.mu["w"].q.astype(jnp.float32)) * 1e-30
+        # consume BOTH new moments (q and scale): the v quantize-back is
+        # the exact op the log10-vs-bits variants swap — leaving st.nu
+        # unconsumed would let XLA dead-code it out of the comparison
+        return (
+            jnp.sum(steps["w"].astype(jnp.float32)) * 1e-30
+            + jnp.sum(st.mu["w"].q.astype(jnp.float32)) * 1e-30
+            + jnp.sum(st.nu["w"].q.astype(jnp.float32)) * 1e-30
+            + jnp.sum(st.nu["w"].scale) * 1e-30
+        )
 
     chain_time(step, (g, state), label=label)
 
@@ -122,7 +130,7 @@ def main():
     full_update("full adam8 update 202M (bits)", True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("PIECES"):
     main()
 
 
@@ -174,4 +182,3 @@ if __name__ == "__main__" and os.environ.get("PIECES"):
     print(f"backend={jax.default_backend()}", flush=True)
     roundtrip_native("v roundtrip native (nb,256), no pad")
     roundtrip_pieces()
-    sys.exit(0)
