@@ -356,6 +356,36 @@ def to_stacked_params(params: Params) -> Params:
     return out
 
 
+def fuse_stacked_qkv(params: Params) -> Params:
+    """Fuse stacked q/k/v kernels into one ``qkv`` weight and gate/up into
+    one ``gate_up`` (the serving layout, models/llama.py::_qkv_proj /
+    _mlp) — for TRAINING on stacked params: 3 matmuls (fwd + dgrad + wgrad
+    each) collapse into 1 per group, one activation read instead of three,
+    and the optimizer updates one fused leaf. Gradients/optimizer state
+    simply follow the fused tree. Reference equivalent: none — HF
+    LlamaAttention keeps separate projections (the monkey-patch packs QKV
+    only inside attention, gpt4roi/train/llama_flash_attn_monkey_patch.py)."""
+    if "layers_stacked" not in params:
+        raise ValueError("fuse_stacked_qkv expects stacked params")
+    st = dict(params["layers_stacked"])
+    if "qkv" not in st:
+        st["qkv"] = {
+            "kernel": jnp.concatenate(
+                [st.pop("q")["kernel"], st.pop("k")["kernel"], st.pop("v")["kernel"]],
+                axis=-1,
+            )
+        }
+    if "gate_up" not in st:
+        st["gate_up"] = {
+            "kernel": jnp.concatenate(
+                [st.pop("gate")["kernel"], st.pop("up")["kernel"]], axis=-1
+            )
+        }
+    out = dict(params)
+    out["layers_stacked"] = st
+    return out
+
+
 def layer_params_list(params: Params) -> List[Params]:
     """Per-layer param trees from either layout. Slicing a stacked tree
     under jit is a view, not a copy — the unrolled forward/extend paths

@@ -113,9 +113,17 @@ def scale_by_adam_8bit(
     b2: float = 0.999,
     eps: float = 1e-8,
     min_quant_size: int = 4096,
+    clip_global_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Adam with int8 blockwise moment storage. Leaves smaller than
-    ``min_quant_size`` elements or on an embedding path keep fp32 moments."""
+    ``min_quant_size`` elements or on an embedding path keep fp32 moments.
+
+    ``clip_global_norm`` folds optax.clip_by_global_norm INTO the update
+    (same math: g * clip / max(gnorm, clip), a scalar factor applied
+    inside the fused elementwise adam step). A separate clip stage in the
+    optax chain materialises a scaled copy of the entire grad tree as the
+    lax.map scan input — ~3.2 GB bf16 at 7B/L=8 — whereas the folded
+    scalar rides the per-layer update for free."""
 
     def eligible(path, p) -> bool:
         return p.size >= min_quant_size and p.ndim >= 2 and not _is_embedding_path(path)
@@ -136,8 +144,14 @@ def scale_by_adam_8bit(
         count = state.count + 1
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        if clip_global_norm is not None:
+            gnorm = optax.global_norm(updates).astype(jnp.float32)
+            cscale = clip_global_norm / jnp.maximum(gnorm, clip_global_norm)
+        else:
+            cscale = jnp.float32(1.0)
 
         def adam_math(m, v, g32):
+            g32 = g32 * cscale
             m = b1 * m + (1.0 - b1) * g32
             v = b2 * v + (1.0 - b2) * g32 * g32
             step = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
@@ -210,9 +224,15 @@ def adamw_8bit(
     weight_decay: float = 0.0,
     mask: Optional[Any] = None,
     min_quant_size: int = 4096,
+    clip_global_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Drop-in optax.adamw analog with 8-bit moment storage."""
-    chain = [scale_by_adam_8bit(b1=b1, b2=b2, eps=eps, min_quant_size=min_quant_size)]
+    chain = [
+        scale_by_adam_8bit(
+            b1=b1, b2=b2, eps=eps, min_quant_size=min_quant_size,
+            clip_global_norm=clip_global_norm,
+        )
+    ]
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
     chain.append(optax.scale_by_learning_rate(learning_rate))

@@ -34,7 +34,7 @@ import numpy as np
 def build_step(args, layers: int, dtype, param_dtype):
     from gpt4roi_tpu.models.clip_vit import ClipVisionConfig
     from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
-    from gpt4roi_tpu.models.llama import LlamaConfig, to_stacked_params
+    from gpt4roi_tpu.models.llama import LlamaConfig, fuse_stacked_qkv, to_stacked_params
     from gpt4roi_tpu.train.loop import make_train_step
     from gpt4roi_tpu.train.state import TrainConfig, create_train_state, make_optimizer
 
@@ -46,6 +46,8 @@ def build_step(args, layers: int, dtype, param_dtype):
     if args.scan_layers:
         params = dict(params)
         params["llama"] = to_stacked_params(params["llama"])
+        if getattr(args, "fuse_qkv", False):
+            params["llama"] = fuse_stacked_qkv(params["llama"])
     tcfg = TrainConfig(
         stage=args.stage, learning_rate=2e-5, total_steps=100, warmup_steps=0,
         optimizer=args.optimizer, remat=args.remat,
@@ -123,6 +125,8 @@ def main():
     p.add_argument("--stage", default="stage2", choices=["stage1", "stage2"])
     p.add_argument("--k", type=int, default=3, help="steps per timed dispatch")
     p.add_argument("--scan_layers", action="store_true")
+    p.add_argument("--fuse_qkv", action="store_true",
+                   help="fuse q/k/v and gate/up stacked kernels for training")
     p.add_argument("--optimizer", default="adamw", choices=["adamw", "adamw8bit"])
     p.add_argument("--remat", default="full", choices=["full", "dots", "none"])
     p.add_argument("--param_dtype", default="float32", choices=["float32", "bfloat16"])

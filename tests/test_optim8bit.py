@@ -167,3 +167,25 @@ def test_stacked_leaf_scan_path_matches_flat(monkeypatch):
             assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
         else:
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+
+
+def test_folded_clip_matches_chained_clip():
+    """clip_global_norm folded into the 8-bit update == a separate
+    optax.clip_by_global_norm stage (same g * clip/max(gnorm, clip) math,
+    without materialising a scaled copy of the grad tree)."""
+    key = jax.random.PRNGKey(0)
+    params = {"dense": {"kernel": jax.random.normal(key, (128, 64)) * 0.1}}
+    # big grads so the clip actually engages (gnorm >> 1)
+    grads = {"dense": {"kernel": jax.random.normal(jax.random.PRNGKey(1), (128, 64)) * 5.0}}
+    clip = 1.0
+
+    tx_fold = adamw_8bit(1e-3, min_quant_size=1024, clip_global_norm=clip)
+    tx_chain = optax.chain(
+        optax.clip_by_global_norm(clip), adamw_8bit(1e-3, min_quant_size=1024)
+    )
+    sf, sc = tx_fold.init(params), tx_chain.init(params)
+    for _ in range(3):
+        uf, sf = tx_fold.update(grads, sf, params)
+        uc, sc = tx_chain.update(grads, sc, params)
+        for a, b in zip(jax.tree_util.tree_leaves(uf), jax.tree_util.tree_leaves(uc)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9)

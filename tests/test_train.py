@@ -300,3 +300,55 @@ def test_scan_layers_sharded_step_8dev(tiny, rng):
     batch = batch_dict(cfg, rng, b=8)
     state, metrics = jit_step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fused_qkv_training_matches_unfused(tiny, rng):
+    """fuse_stacked_qkv (one qkv + one gate_up matmul per layer — round-4
+    train-MFU lever): loss and the fused-weight gradients match the
+    unfused stacked layout (grad slices concatenate exactly)."""
+    from gpt4roi_tpu.models.llama import fuse_stacked_qkv, to_stacked_params
+    from gpt4roi_tpu.train.loop import loss_fn
+
+    cfg, _ = tiny
+    # fresh params: earlier sharded-step tests donate buffers aliasing the
+    # module fixture's leaves (CPU device_put can alias shard 0)
+    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg)
+    batch = batch_dict(cfg, rng)
+    sp = dict(params)
+    sp["llama"] = to_stacked_params(params["llama"])
+    fp = dict(sp)
+    fp["llama"] = fuse_stacked_qkv(sp["llama"])
+    assert "qkv" in fp["llama"]["layers_stacked"]
+    assert "q" not in fp["llama"]["layers_stacked"]
+
+    l_u, g_u = jax.value_and_grad(loss_fn)(sp, cfg, batch, jnp.float32, stage="stage2")
+    l_f, g_f = jax.value_and_grad(loss_fn)(fp, cfg, batch, jnp.float32, stage="stage2")
+    np.testing.assert_allclose(float(l_f), float(l_u), rtol=1e-5)
+
+    gu = g_u["llama"]["layers_stacked"]
+    gf = g_f["llama"]["layers_stacked"]
+    want_qkv = np.concatenate(
+        [np.asarray(gu[k]["kernel"]) for k in ("q", "k", "v")], axis=-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf["qkv"]["kernel"]), want_qkv, rtol=1e-4, atol=1e-5
+    )
+    want_gu = np.concatenate(
+        [np.asarray(gu[k]["kernel"]) for k in ("gate", "up")], axis=-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf["gate_up"]["kernel"]), want_gu, rtol=1e-4, atol=1e-5
+    )
+
+    # and the full train step runs on the fused tree (optimizer labels
+    # follow top-level subtrees, so fused leaves train normally)
+    tcfg = TrainConfig(stage="stage2", learning_rate=1e-3, total_steps=4, warmup_steps=0)
+    state = create_train_state(fp, tcfg)
+    step = make_train_step(cfg, tcfg, make_optimizer(tcfg, fp), compute_dtype=jnp.float32)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = np.abs(
+        np.asarray(new_state.params["llama"]["layers_stacked"]["qkv"]["kernel"])
+        - np.asarray(fp["llama"]["layers_stacked"]["qkv"]["kernel"])
+    ).max()
+    assert moved > 0
