@@ -116,3 +116,132 @@ def test_sessions_share_batch_match_sequential(tiny_engine, rng):
     sb.close()
     # closed sessions release their slots
     assert not ce.reserved.any()
+
+
+def test_churn_stress_slot_reuse_and_parity(tiny_engine, rng):
+    """Randomized churn (VERDICT r3 item 9): staggered arrivals with varying
+    max_new_tokens, mid-flight cancellations, and interleaved multi-round
+    session parks over few slots — every surviving request must match its
+    isolated greedy run exactly, cancelled requests must be a prefix of
+    theirs, every slot must cycle through admit/evict >= 3 times, and no
+    slot may leak (all free at the end)."""
+    from gpt4roi_tpu.serve.continuous import ContinuousEngine
+
+    eng, cfg = tiny_engine
+    ce = ContinuousEngine(eng, n_slots=3, chunk_size=4)
+
+    admits = np.zeros((ce.n,), np.int64)
+    evicts = np.zeros((ce.n,), np.int64)
+    orig_admit, orig_evict = ce._admit, ce._evict
+
+    def counting_admit(job, slot):
+        admits[slot] += 1
+        orig_admit(job, slot)
+
+    def counting_evict(slot):
+        evicts[slot] += 1
+        orig_evict(slot)
+
+    ce._admit = counting_admit
+    ce._evict = counting_evict
+
+    # 9 one-shot requests: varying prompt length + budget; 3 get cancelled
+    reqs = []
+    for i in range(9):
+        s = int(rng.integers(18, 30))
+        n_new = int(rng.integers(3, 12))
+        reqs.append((make_batch(cfg, rng, b=1, s=s), n_new, i % 3 == 2))
+    wants = [
+        eng.generate(ids, img, bx, m, max_new_tokens=n_new, temperature=0.0, chunk_size=4)[0]
+        for (ids, img, bx, m), n_new, _ in reqs
+    ]
+
+    # 2 sessions x 2 rounds interleaved with the one-shots (park cycles)
+    r1a = make_batch(cfg, rng, b=1, s=22)
+    r1b = make_batch(cfg, rng, b=1, s=26)
+    r2a = [int(t) for t in rng.integers(5, 50, (7,))]
+    r2b = [int(t) for t in rng.integers(5, 50, (6,))]
+    sess_wants = []
+    for (ids, img, bx, m), r2 in ((r1a, r2a), (r1b, r2b)):
+        cs = eng.cached_session()
+        cs.set_vision(img, bx, m)
+        o1 = cs.append_and_generate(list(ids[0]), max_new_tokens=4, temperature=0.0, chunk_size=4)
+        o2 = cs.append_and_generate(r2, max_new_tokens=4, temperature=0.0, chunk_size=4)
+        sess_wants.append((o1, o2))
+
+    sa, sb = ce.session(), ce.session()
+    sa.set_vision(*r1a[1:])
+    sb.set_vision(*r1b[1:])
+
+    # scripted schedule: (step index, action)
+    handles = [None] * len(reqs)
+    sess_handles = {}
+    schedule = {
+        0: lambda: handles.__setitem__(0, _submit(ce, reqs[0])),
+        1: lambda: (
+            handles.__setitem__(1, _submit(ce, reqs[1])),
+            sess_handles.__setitem__("a1", sa.ask(list(r1a[0][0]), max_new_tokens=4)),
+        ),
+        2: lambda: handles.__setitem__(2, _submit(ce, reqs[2])),
+        3: lambda: handles.__setitem__(3, _submit(ce, reqs[3])),
+        4: lambda: (
+            handles.__setitem__(4, _submit(ce, reqs[4])),
+            sess_handles.__setitem__("b1", sb.ask(list(r1b[0][0]), max_new_tokens=4)),
+        ),
+        6: lambda: handles.__setitem__(5, _submit(ce, reqs[5])),
+        8: lambda: (
+            handles.__setitem__(6, _submit(ce, reqs[6])),
+            sess_handles.__setitem__("a2", sa.ask(r2a, max_new_tokens=4)),
+        ),
+        10: lambda: handles.__setitem__(7, _submit(ce, reqs[7])),
+        12: lambda: (
+            handles.__setitem__(8, _submit(ce, reqs[8])),
+            sess_handles.__setitem__("b2", sb.ask(r2b, max_new_tokens=4)),
+        ),
+    }
+    for step_i in range(300):
+        if step_i in schedule:
+            schedule[step_i]()
+        # cancel marked requests once their first token has landed
+        for h, ((_, _, _, _), _, cancel) in zip(handles, reqs):
+            if h is not None and cancel and h.tokens and not h.cancelled:
+                h.cancel()
+        ce.step()
+        all_submitted = all(h is not None for h in handles) and len(sess_handles) == 4
+        if all_submitted and all(h.done.is_set() for h in handles) and all(
+            h.done.is_set() for h in sess_handles.values()
+        ):
+            break
+    else:
+        raise AssertionError("churn scenario did not converge")
+
+    for h, want, (_, _, cancel) in zip(handles, wants, [(r, n, c) for r, n, c in reqs]):
+        got = h.result()
+        if cancel:
+            assert got == want[: len(got)], "cancelled request must be a prefix"
+            assert len(got) <= len(want)
+        else:
+            assert got == want
+    assert sess_handles["a1"].result() == sess_wants[0][0]
+    assert sess_handles["a2"].result() == sess_wants[0][1]
+    assert sess_handles["b1"].result() == sess_wants[1][0]
+    assert sess_handles["b2"].result() == sess_wants[1][1]
+
+    sa.close()
+    sb.close()
+    # no leaked slots: nothing active, nothing reserved, no handles
+    assert not ce.active.any()
+    assert not ce.reserved.any()
+    assert all(h is None for h in ce.handles)
+    assert int((ce.buf_pos == ce.S).sum()) == ce.n  # all parked at S
+    # every slot cycled >= 3 admit/evict/park rounds (13 admissions over 3
+    # slots; parked-session slots trade admits for park cycles)
+    assert admits.sum() == len(reqs) + 4
+    assert evicts.sum() == admits.sum()
+    cycles = admits + evicts
+    assert (cycles >= 3).all(), f"slot cycle counts {cycles}"
+
+
+def _submit(ce, req):
+    (ids, img, bx, m), n_new, _ = req
+    return ce.submit(list(ids[0]), img, bx, m, max_new_tokens=n_new, temperature=0.0)
