@@ -119,6 +119,11 @@ def main():
     p.add_argument("--layers", type=int, default=8)
     p.add_argument("--layers2", type=int, default=4,
                    help="second depth for the per-layer slope (0 = skip)")
+    p.add_argument("--depths", default=None,
+                   help="comma list of depths (overrides --layers/--layers2): "
+                   "least-squares line over >=3 points + max residual pct — "
+                   "a MEASURED linearity check instead of the 2-point "
+                   "extrapolation assumption")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--seq", type=int, default=2048)
     p.add_argument("--regions", type=int, default=16)
@@ -144,6 +149,36 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     param_dtype = jnp.bfloat16 if args.param_dtype == "bfloat16" else jnp.float32
+
+    if args.depths:
+        depths = sorted({int(d) for d in args.depths.split(",")}, reverse=True)
+        assert len(depths) >= 2
+        ts = []
+        for L in depths:
+            t, _ = measure_depth(args, L, dtype, param_dtype, args.k)
+            ts.append(t)
+        xs = np.asarray(depths, np.float64)
+        ys = np.asarray(ts, np.float64)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        resid = np.abs(slope * xs + intercept - ys) / ys
+        t_full = slope * args.full_layers + intercept
+        out = {
+            "stage": args.stage,
+            "remat": args.remat,
+            "batch": args.batch,
+            "seq": args.seq,
+            "regions": args.regions,
+            "depths": depths,
+            "step_ms_each": [round(t * 1e3, 1) for t in ts],
+            "per_layer_ms": round(slope * 1e3, 2),
+            "intercept_ms": round(intercept * 1e3, 1),
+            "linear_fit_max_resid_pct": round(float(resid.max()) * 100, 2),
+            "step_ms_full": round(t_full * 1e3, 1),
+            "tokens_per_sec_full": round(args.batch * args.seq / t_full, 1),
+            "img_regions_per_sec_full": round(args.batch * args.regions / t_full, 2),
+        }
+        print(json.dumps(out) if args.json else out)
+        return
 
     t1, loss1 = measure_depth(args, args.layers, dtype, param_dtype, args.k)
     out = {

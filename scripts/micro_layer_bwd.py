@@ -28,7 +28,13 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-from gpt4roi_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward, to_stacked_params
+from gpt4roi_tpu.models.llama import (
+    LlamaConfig,
+    fuse_stacked_qkv,
+    init_llama_params,
+    llama_forward,
+    to_stacked_params,
+)
 
 B, S = 2, 2048
 
@@ -97,10 +103,12 @@ def make_step(cfg, remat, use_flash, with_opt):
     return step, tx
 
 
-def build(cfg):
+def build(cfg, fuse=False):
     key = jax.random.PRNGKey(0)
     params = init_llama_params(key, cfg, jnp.bfloat16)
     params = to_stacked_params(params)
+    if fuse:
+        params = fuse_stacked_qkv(params)
     # slope micro: drop embed/lm_head work from the measured region as much
     # as possible (they are intercept, identical across L — but smaller
     # trees also keep grad-consumption reductions cheap)
@@ -110,12 +118,12 @@ def build(cfg):
     return params, embeds, seg
 
 
-def slope(label, remat, use_flash, with_opt):
+def slope(label, remat, use_flash, with_opt, fuse=False):
     import dataclasses
     dts = []
     for L in (1, 2):
         cfg = dataclasses.replace(LlamaConfig.llama_7b(), num_layers=L)
-        params, embeds, seg = build(cfg)
+        params, embeds, seg = build(cfg, fuse=fuse)
         step, tx = make_step(cfg, remat, use_flash, with_opt)
         if with_opt:
             opt_state = tx.init(params)
@@ -162,6 +170,8 @@ def main():
     slope("grad-only none flash", None, None, False)
     slope("grad+adamw8bit dots flash", "dots", None, True)
     slope("grad-only dots XLA-attn", "dots", False, False)
+    slope("grad-only dots flash FUSED-QKV", "dots", None, False, fuse=True)
+    slope("grad+adamw8bit dots FUSED-QKV", "dots", None, True, fuse=True)
 
 
 if __name__ == "__main__":
