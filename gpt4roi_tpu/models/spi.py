@@ -306,8 +306,10 @@ def mlvl_fuse(
         # three (int32 maps are 4 B/el of HBM traffic; the int8 concat is
         # 1 B/el). Single f32 epilogue applies s * sw before GroupNorm.
         kern = fuse_p["conv"]["kernel"]
-        mode = os.environ.get("GPT4ROI_FUSE_STATIC", "concat")
-        if mode == "concat":
+        mode = os.environ.get("GPT4ROI_FUSE_STATIC", "pallas")
+        if mode == "pallas" and jax.default_backend() != "tpu":
+            mode = "concat"  # the Pallas epilogue is TPU-only (serving path)
+        if mode in ("concat", "pallas"):
             kq_full, sw = _kernel_q(fuse_p["conv"])
         else:
             (kq_rem, kq_top, kq_down), sw = _quant_kernel_slices(
@@ -322,7 +324,7 @@ def mlvl_fuse(
             s = scales_row[lvl]
             from_top = interpolate_bilinear(levels[top][..., rc + sc :], hw, align_corners=True)
             from_down = interpolate_bilinear(levels[down][..., rc : rc + sc], hw, align_corners=True)
-            if mode == "concat":
+            if mode in ("concat", "pallas"):
                 qcat = jnp.concatenate(
                     [
                         _quant_static(tar[..., :rc], s),
@@ -331,6 +333,18 @@ def mlvl_fuse(
                     ],
                     axis=-1,
                 )
+                if mode == "pallas":
+                    # fused conv + scale + GN epilogue (ops/fuse_conv_gn.py):
+                    # the int32 map and the GN stats pass never hit HBM
+                    from gpt4roi_tpu.ops.fuse_conv_gn import fuse_round_level_pallas
+
+                    y = fuse_round_level_pallas(
+                        qcat, kq_full, s * sw,
+                        fuse_p["gn"]["scale"], fuse_p["gn"]["bias"],
+                        out_dtype=tar.dtype, groups=cfg.gn_groups,
+                    )
+                    new_levels.append(y)
+                    continue
                 y = jax.lax.conv_general_dilated(
                     qcat, kq_full, window_strides=(1, 1), padding="SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -164,6 +164,8 @@ def main():
     p.add_argument("--full_layers", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--dry_run", action="store_true",
+                   help="host-side only: distribution stats + batch construction")
     args = p.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -243,6 +245,19 @@ def main():
         "input_ids": pad_ids, "labels": pad_labels, "attention_mask": attn,
         "images": images, "boxes": boxes, "box_mask": box_mask,
     }
+
+    if args.dry_run:
+        out = dict(stats)
+        out.update(
+            {
+                "samples_in_packed_batch": n_packed,
+                "real_tokens_packed": real_tokens_packed,
+                "packed_keys": sorted(packed_batch),
+                "padded_keys": sorted(padded_batch),
+            }
+        )
+        print(json.dumps(out) if args.json else out)
+        return
 
     def extrapolate(measure_fn):
         t1, loss = measure_fn(args.layers)

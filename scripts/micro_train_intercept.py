@@ -126,6 +126,98 @@ def main():
 
     timeit(fuse_fwdbwd, (params["spi"], pyramid), label="fuse pyramid fwd+bwd")
 
+    # ---- SPI-bwd attribution (VERDICT r3 item 7): isolate the fuse
+    # pyramid's backward components — fwd-only, no-GN, no-cross-level-interp
+    # variants subtract out each suspect's fwd+bwd share.
+    @jax.jit
+    def fuse_fwd_only(spi_p, pyramid, salt):
+        salt = (salt * 1e-30).astype(pyramid[0].dtype)
+        feats = [
+            p.reshape(B, scfg.base_grid, scfg.base_grid, scfg.embed_dims) + salt
+            for p in pyramid
+        ]
+        feats = [
+            interpolate_bilinear(f, (s, s), align_corners=True)
+            for f, s in zip(feats, scfg.level_sizes)
+        ]
+        feats = spi_mod.mlvl_fuse(spi_p, feats, scfg)
+        return sum(f.astype(jnp.float32).sum() for f in feats)
+
+    timeit(fuse_fwd_only, (params["spi"], pyramid), label="fuse pyramid fwd ONLY")
+
+    from gpt4roi_tpu.ops.norms import group_norm as _gn
+
+    def _rounds_fwdbwd(label, use_gn, use_interp):
+        rc, sc_ = scfg.remain_channels, scfg.shuffle_channels
+        n = scfg.num_levels
+
+        @jax.jit
+        def run(spi_p, feats, salt):
+            salt = (salt * 1e-30).astype(feats[0].dtype)
+
+            def loss(spi_p):
+                levels = [f + salt for f in feats]
+                for fuse_p in spi_p["fuse_convs"]:
+                    kern = fuse_p["conv"]["kernel"]
+                    k_rem = kern[:, :, :rc, :]
+                    k_top = kern[:, :, rc : rc + sc_, :]
+                    k_down = kern[:, :, rc + sc_ :, :]
+                    new_levels = []
+                    for lvl in range(n):
+                        top = min(lvl + 1, n - 1)
+                        down = max(lvl - 1, 0)
+                        tar = levels[lvl]
+                        hw = (tar.shape[1], tar.shape[2])
+                        if use_interp:
+                            ft = interpolate_bilinear(
+                                levels[top][..., rc + sc_ :], hw, align_corners=True)
+                            fd = interpolate_bilinear(
+                                levels[down][..., rc : rc + sc_], hw, align_corners=True)
+                        else:
+                            # same FLOPs, no resize: reuse the target's own slices
+                            ft = tar[..., rc + sc_ :]
+                            fd = tar[..., rc : rc + sc_]
+                        y = (
+                            spi_mod._conv_kernel(k_rem, tar[..., :rc])
+                            + spi_mod._conv_kernel(k_top, ft)
+                            + spi_mod._conv_kernel(k_down, fd)
+                        )
+                        if use_gn:
+                            y = _gn(y, fuse_p["gn"]["scale"], fuse_p["gn"]["bias"], scfg.gn_groups)
+                        new_levels.append(jax.nn.relu(y))
+                    levels = new_levels
+                return sum(f.astype(jnp.float32).sum() for f in levels)
+
+            l, g = jax.value_and_grad(loss)(spi_p)
+            return l + sum(x.astype(jnp.float32).sum() for x in jax.tree_util.tree_leaves(g))
+
+        timeit(run, (params["spi"], feats0), label=label)
+
+    _rounds_fwdbwd("fuse ROUNDS fwd+bwd (control)", True, True)
+    _rounds_fwdbwd("fuse rounds, NO GroupNorm", False, True)
+    _rounds_fwdbwd("fuse rounds, NO cross-level interp", True, False)
+
+    # ---- RoIAlign alone fwd+bwd (no pconvs/flatten)
+    @jax.jit
+    def roi_only(feats, boxes, box_mask, salt):
+        salt = (salt * 1e-30).astype(feats[0].dtype)
+
+        def loss(feats):
+            scaled = boxes.astype(jnp.float32) * scfg.image_size
+            acc = 0.0
+            for lvl in range(scfg.num_levels):
+                rf = spi_mod._roi_align(
+                    feats[lvl] + salt, scaled, box_mask,
+                    scfg.roi_output_size, 1.0 / scfg.strides[lvl], scfg.sampling_ratio,
+                )
+                acc = acc + rf.astype(jnp.float32).sum()
+            return acc
+
+        l, g = jax.value_and_grad(loss)(feats)
+        return l + sum(x.astype(jnp.float32).sum() for x in jax.tree_util.tree_leaves(g))
+
+    timeit(roi_only, (feats0, boxes, box_mask), label="RoIAlign x4 levels fwd+bwd")
+
     # ---- RoI heads only (align + pconvs + flatten + updims), fwd+bwd
     feats0 = [
         interpolate_bilinear(
