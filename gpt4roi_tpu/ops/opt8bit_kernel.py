@@ -1,0 +1,141 @@
+"""Fused Pallas AdamW-8bit update: dequant -> clip -> adam -> bias-correct
+-> weight-decay -> lr -> requant, one HBM pass per leaf.
+
+Why: the XLA 8-bit update was measured at ~49 ms/layer at the stage-2 shape
+(scripts/micro_layer_bwd.py, grad+adamw8bit slope 89.3 vs grad-only 40.2)
+against a ~2.5 ms/layer HBM roofline — the (nblocks, 256) moment storage
+forces a full relayout copy of every tensor on each quantize/dequantize,
+and the per-layer lax.map (round-4 OOM fix) serialized those copies. Here
+the int8 moments are stored PARAM-SHAPED (same tiled layout as the grad, so
+every reshape in the chain is free) with (rows, C/256) f32 block scales —
+the block semantics are unchanged: 256 contiguous elements of the row-major
+flattened tensor share one scale, exactly the bitsandbytes blockwise scheme
+(reference: gpt4roi/train/llava_trainer.py:144-157).
+
+The kernel emits the FINAL update delta (-lr * (adam_step + wd * p)) plus
+re-quantized moments; moment buffers are donated via input_output_aliases
+so no second copy of the optimizer state ever exists (this, not the update
+cost, was the round-3 L=8 OOM). Transients are tile-sized.
+
+Numerics: identical math to train/optim8bit.py's XLA path (log-domain v via
+exp2/log2 with base-10 constants — same stored uint8 codes) up to
+transcendental rounding; parity-tested in tests/test_optim8bit.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 256
+LOG_DECADES = 8.0
+_LOG2_10 = 3.321928094887362  # log2(10)
+_INV_LOG2_10 = 1.0 / _LOG2_10
+
+
+def _kernel(svec_ref, g_ref, p_ref, mq_ref, ms_ref, nq_ref, ns_ref,
+            upd_ref, mqo_ref, mso_ref, nqo_ref, nso_ref,
+            *, nbc: int, wd: float, b1: float, b2: float, eps: float):
+    cscale = svec_ref[0, 0]
+    bc1 = svec_ref[0, 1]
+    bc2 = svec_ref[0, 2]
+    lr = svec_ref[0, 3]
+    tr, c = g_ref.shape
+    rows = tr * nbc
+
+    g = g_ref[:].astype(jnp.float32).reshape(rows, BLOCK) * cscale
+    m = mq_ref[:].reshape(rows, BLOCK).astype(jnp.float32) * ms_ref[:].reshape(rows, 1)
+    iq = nq_ref[:].reshape(rows, BLOCK).astype(jnp.float32)
+    # v dequant: 10 ** (((i-1)/254 - 1) * LOG_DECADES), index 0 = exact zero
+    val = jnp.exp2(((iq - 1.0) / 254.0 - 1.0) * (LOG_DECADES * _LOG2_10))
+    v = jnp.where(iq > 0.0, val, 0.0) * ns_ref[:].reshape(rows, 1)
+
+    m = b1 * m + (1.0 - b1) * g
+    v = b2 * v + (1.0 - b2) * g * g
+    step = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    if wd:
+        step = step + wd * p_ref[:].astype(jnp.float32).reshape(rows, BLOCK)
+    upd_ref[:] = (-lr * step).reshape(tr, c).astype(upd_ref.dtype)
+
+    # requant m: blockwise absmax linear int8
+    amax = jnp.max(jnp.abs(m), axis=1, keepdims=True)
+    msc = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+    mqo_ref[:] = (
+        jnp.clip(jnp.round(m / msc), -127, 127).astype(jnp.int8).reshape(tr, c)
+    )
+    mso_ref[:] = msc.reshape(tr, nbc)
+
+    # requant v: log-domain uint8 over LOG_DECADES decades below block max
+    vmax = jnp.max(v, axis=1, keepdims=True)
+    vsc = jnp.where(vmax > 0.0, vmax, 1.0)
+    norm = v / vsc
+    logn = jnp.log2(jnp.maximum(norm, 10.0 ** -LOG_DECADES)) * _INV_LOG2_10
+    idx = jnp.round((logn / LOG_DECADES + 1.0) * 254.0) + 1.0
+    nqo_ref[:] = (
+        jnp.where(norm > 0.0, jnp.clip(idx, 1.0, 255.0), 0.0)
+        .astype(jnp.uint8)
+        .reshape(tr, c)
+    )
+    nso_ref[:] = vsc.reshape(tr, nbc)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wd", "b1", "b2", "eps", "interpret"),
+    donate_argnums=(2, 3, 4, 5),
+)
+def fused_adamw8bit_leaf(
+    g: jax.Array,  # (R, C) grad view, C % 256 == 0
+    p: jax.Array,  # (R, C) param view (read only when wd != 0)
+    mq: jax.Array,  # (R, C) int8 first-moment codes
+    ms: jax.Array,  # (R, C // 256) f32 block scales
+    nq: jax.Array,  # (R, C) uint8 second-moment codes
+    ns: jax.Array,  # (R, C // 256) f32
+    svec: jax.Array,  # (1, 4) f32: [clip_scale, bc1, bc2, lr]
+    wd: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    interpret: bool = False,
+):
+    """Returns (upd, mq', ms', nq', ns') with upd = -lr*(adam_step + wd*p).
+    Moment inputs are donated (aliased to the outputs)."""
+    r, c = g.shape
+    assert c % BLOCK == 0, c
+    nbc = c // BLOCK
+    # ~1M-element tiles; ragged tails are masked by Pallas block clipping
+    tr = max(8, min(512, (1 << 20) // c))
+    grid = (pl.cdiv(r, tr),)
+
+    kern = functools.partial(_kernel, nbc=nbc, wd=wd, b1=b1, b2=b2, eps=eps)
+    row_spec = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((tr, nbc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            row_spec,  # g
+            row_spec,  # p
+            row_spec,  # mq
+            sc_spec,  # ms
+            row_spec,  # nq
+            sc_spec,  # ns
+        ],
+        out_specs=[row_spec, row_spec, sc_spec, row_spec, sc_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c), g.dtype),
+            jax.ShapeDtypeStruct((r, c), jnp.int8),
+            jax.ShapeDtypeStruct((r, nbc), jnp.float32),
+            jax.ShapeDtypeStruct((r, c), jnp.uint8),
+            jax.ShapeDtypeStruct((r, nbc), jnp.float32),
+        ],
+        # donate the moment buffers: the optimizer state is updated in
+        # place, so no second copy of the int8 moments ever exists
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        interpret=interpret,
+    )(svec, g, p, mq, ms, nq, ns)

@@ -10,14 +10,24 @@ stability rules, embeddings and small tensors (< ``min_quant_size``
 elements, e.g. norm scales/biases) keep fp32 moments (llava_trainer.py's
 ``register_module_override(module, 'weight', {'optim_bits': 32})``).
 
-TPU notes: the dequant -> adam math -> requant round-trip is pure
-elementwise VPU work that XLA fuses into the update; no extra HBM
-round-trips beyond reading/writing the int8 moments themselves, so the
-memory win is also a bandwidth win on the optimizer step.
+TPU notes (round 4): the XLA dequant -> adam -> requant chain on the
+original (nblocks, 256) storage was measured at ~49 ms/layer at the
+stage-2 shape (scripts/micro_layer_bwd.py: grad+adamw8bit slope 89.3 vs
+grad-only 40.2 ms/layer) against a ~2.5 ms/layer HBM roofline — every
+quantize/dequantize forced a full relayout copy between the tensor's
+tiled layout and the block layout. Fix: moments for leaves whose last dim
+is a multiple of 256 are stored PARAM-SHAPED (q same shape as the param,
+scales (rows, C/256) f32 — identical 256-contiguous-element block
+semantics, zero-copy reshapes) and the whole update runs as ONE fused
+Pallas pass per leaf (ops/opt8bit_kernel.py) with clip, bias correction,
+weight decay and lr folded in and the moment buffers donated. Leaves with
+awkward last dims (lm_head's 32006) keep the flat (nblocks, 256) layout
+and XLA math.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -84,6 +94,54 @@ def _dequantize_log(qm: _QMoment, shape, size: int) -> jax.Array:
     return flat[:size].reshape(shape)
 
 
+# ---- param-shaped (zero-relayout) storage: last dim % 256 == 0 -----------
+
+
+def _is_shaped(qm: _QMoment, p_shape) -> bool:
+    return qm.q.shape == tuple(p_shape)
+
+
+def _rc_view(shape):
+    r = 1
+    for d in shape[:-1]:
+        r *= d
+    return r, shape[-1]
+
+
+def _quantize_signed_shaped(x: jax.Array) -> _QMoment:
+    r, c = _rc_view(x.shape)
+    xr = x.reshape(r, c // BLOCK, BLOCK)
+    amax = jnp.max(jnp.abs(xr), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xr / scale), -127, 127).astype(jnp.int8)
+    return _QMoment(q=q.reshape(x.shape), scale=scale.reshape(r, c // BLOCK).astype(jnp.float32))
+
+
+def _dequantize_signed_shaped(qm: _QMoment, shape) -> jax.Array:
+    r, c = _rc_view(shape)
+    q = qm.q.reshape(r, c // BLOCK, BLOCK).astype(jnp.float32)
+    return (q * qm.scale[..., None]).reshape(shape)
+
+
+def _quantize_log_shaped(x: jax.Array) -> _QMoment:
+    r, c = _rc_view(x.shape)
+    xr = x.reshape(r, c // BLOCK, BLOCK)
+    amax = jnp.max(xr, axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax, 1.0)
+    norm = xr / scale
+    logn = jnp.log10(jnp.maximum(norm, 10.0**-LOG_DECADES))
+    idx = jnp.round((logn / LOG_DECADES + 1.0) * 254.0) + 1.0
+    q = jnp.where(norm > 0, jnp.clip(idx, 1, 255), 0).astype(jnp.uint8)
+    return _QMoment(q=q.reshape(x.shape), scale=scale.reshape(r, c // BLOCK).astype(jnp.float32))
+
+
+def _dequantize_log_shaped(qm: _QMoment, shape) -> jax.Array:
+    r, c = _rc_view(shape)
+    i = qm.q.reshape(r, c // BLOCK, BLOCK).astype(jnp.float32)
+    val = 10.0 ** (((i - 1.0) / 254.0 - 1.0) * LOG_DECADES)
+    return (jnp.where(i > 0, val, 0.0) * qm.scale[..., None]).reshape(shape)
+
+
 class ScaleByAdam8bitState(NamedTuple):
     count: jax.Array
     mu: Any  # per-leaf: _QMoment or fp32 array
@@ -96,16 +154,6 @@ def _is_embedding_path(path) -> bool:
         if key is not None and "embed" in str(key):
             return True
     return False
-
-
-# stacked-leaf leading-axis scan: leaves at least this many elements with
-# ndim>=3 (scan-over-layers stacking puts the layer axis first) update via
-# lax.map over axis 0, shrinking the dequantized f32 moment transients from
-# L-layers wide to 1-layer wide. Same math as the flat path: per-slice
-# sizes of every stacked matrix are multiples of BLOCK, so block boundaries
-# never straddle the layer axis (guarded below); results agree to XLA
-# fusion rounding (~1e-5 on the transcendentals — tests/test_optim8bit.py).
-SCAN_MIN_SIZE = 2**24
 
 
 def scale_by_adam_8bit(
@@ -129,15 +177,23 @@ def scale_by_adam_8bit(
         return p.size >= min_quant_size and p.ndim >= 2 and not _is_embedding_path(path)
 
     def init_fn(params):
-        def init_leaf(quant):
+        def init_leaf(quant, quant_shaped):
             def f(path, p):
                 z = jnp.zeros_like(p, jnp.float32)
-                return quant(z, p.size) if eligible(path, p) else z
+                if not eligible(path, p):
+                    return z
+                if p.shape[-1] % BLOCK == 0:
+                    return quant_shaped(z)
+                return quant(z, p.size)
 
             return f
 
-        mu = jax.tree_util.tree_map_with_path(init_leaf(_quantize_signed), params)
-        nu = jax.tree_util.tree_map_with_path(init_leaf(_quantize_log), params)
+        mu = jax.tree_util.tree_map_with_path(
+            init_leaf(_quantize_signed, _quantize_signed_shaped), params
+        )
+        nu = jax.tree_util.tree_map_with_path(
+            init_leaf(_quantize_log, _quantize_log_shaped), params
+        )
         return ScaleByAdam8bitState(count=jnp.zeros((), jnp.int32), mu=mu, nu=nu)
 
     def update_fn(updates, state, params=None):
@@ -161,41 +217,14 @@ def scale_by_adam_8bit(
             if not isinstance(mu, _QMoment):
                 m, v, step = adam_math(mu, nu, g.astype(jnp.float32))
                 return step.astype(g.dtype), m, v
-            slice_size = g.size // g.shape[0]
-            if (
-                g.ndim >= 3
-                and g.shape[0] > 1
-                and g.size >= SCAN_MIN_SIZE
-                and slice_size % BLOCK == 0
-            ):
-                # per-layer update on a stacked leaf: f32 transients are
-                # 1/L the leaf, unlocking L=8..32 on one 16 GB chip
-                layers = g.shape[0]
-                nb = mu.q.shape[0] // layers
-
-                def body(xs):
-                    g_l, mq, ms, nq, ns = xs
-                    m = _dequantize_signed(_QMoment(mq, ms), g_l.shape, slice_size)
-                    v = _dequantize_log(_QMoment(nq, ns), g_l.shape, slice_size)
-                    m, v, step = adam_math(m, v, g_l.astype(jnp.float32))
-                    qm = _quantize_signed(m, slice_size)
-                    qv = _quantize_log(v, slice_size)
-                    return step.astype(g.dtype), qm.q, qm.scale, qv.q, qv.scale
-
-                step, mq, ms, nq, ns = jax.lax.map(
-                    body,
-                    (
-                        g,
-                        mu.q.reshape(layers, nb, BLOCK),
-                        mu.scale.reshape(layers, nb, 1),
-                        nu.q.reshape(layers, nb, BLOCK),
-                        nu.scale.reshape(layers, nb, 1),
-                    ),
-                )
+            if _is_shaped(mu, g.shape):
+                m = _dequantize_signed_shaped(mu, g.shape)
+                v = _dequantize_log_shaped(nu, g.shape)
+                m, v, step = adam_math(m, v, g.astype(jnp.float32))
                 return (
-                    step,
-                    _QMoment(mq.reshape(-1, BLOCK), ms.reshape(-1, 1)),
-                    _QMoment(nq.reshape(-1, BLOCK), ns.reshape(-1, 1)),
+                    step.astype(g.dtype),
+                    _quantize_signed_shaped(m),
+                    _quantize_log_shaped(v),
                 )
             m = _dequantize_signed(mu, g.shape, g.size)
             v = _dequantize_log(nu, g.shape, g.size)
@@ -226,17 +255,112 @@ def adamw_8bit(
     min_quant_size: int = 4096,
     clip_global_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
-    """Drop-in optax.adamw analog with 8-bit moment storage."""
-    chain = [
-        scale_by_adam_8bit(
-            b1=b1, b2=b2, eps=eps, min_quant_size=min_quant_size,
-            clip_global_norm=clip_global_norm,
+    """Drop-in optax.adamw analog with 8-bit moment storage, as ONE fused
+    transformation: clip factor, adam math, bias correction, weight decay
+    and the learning rate are all applied in a single pass per leaf — on
+    TPU via the Pallas kernel (ops/opt8bit_kernel.py, moment buffers
+    donated), elsewhere as fused XLA elementwise. Returned updates are the
+    final deltas for optax.apply_updates.
+
+    Chaining optax.add_decayed_weights + scale_by_learning_rate instead
+    (the round-3 layout) costs two extra full passes over the update tree,
+    and the old (nblocks, 256) moment storage added relayout copies — the
+    total measured at ~49 ms/layer vs a 2.5 ms roofline (module
+    docstring)."""
+    base = scale_by_adam_8bit(
+        b1=b1, b2=b2, eps=eps, min_quant_size=min_quant_size,
+        clip_global_norm=clip_global_norm,
+    )
+
+    def use_kernel() -> bool:
+        mode = os.environ.get("GPT4ROI_OPT8BIT_KERNEL", "auto")
+        if mode == "off":
+            return False
+        return mode == "interpret" or jax.default_backend() == "tpu"
+
+    def init_fn(params):
+        return base.init(params)
+
+    def update_fn(updates, state, params=None):
+        from gpt4roi_tpu.ops.opt8bit_kernel import fused_adamw8bit_leaf
+
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**cf
+        bc2 = 1.0 - b2**cf
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        lr = jnp.asarray(lr, jnp.float32)
+        if clip_global_norm is not None:
+            gnorm = optax.global_norm(updates).astype(jnp.float32)
+            cscale = clip_global_norm / jnp.maximum(gnorm, clip_global_norm)
+        else:
+            cscale = jnp.float32(1.0)
+        svec = jnp.stack([cscale, bc1, bc2, lr]).reshape(1, 4)
+        interpret = os.environ.get("GPT4ROI_OPT8BIT_KERNEL") == "interpret"
+        kernel_ok = use_kernel()
+
+        if weight_decay and params is None:
+            raise ValueError("adamw_8bit with weight_decay needs params")
+
+        def adam_math(m, v, g32):
+            g32 = g32 * cscale
+            m = b1 * m + (1.0 - b1) * g32
+            v = b2 * v + (1.0 - b2) * g32 * g32
+            step = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            return m, v, step
+
+        def upd_leaf(path, g, mu, nu, p, wd_leaf):
+            wd = float(weight_decay) if (weight_decay and wd_leaf) else 0.0
+            if isinstance(mu, _QMoment) and _is_shaped(mu, g.shape) and kernel_ok:
+                r, c = _rc_view(g.shape)
+                upd, mq, ms, nq, ns = fused_adamw8bit_leaf(
+                    g.reshape(r, c),
+                    p.reshape(r, c),
+                    mu.q.reshape(r, c), mu.scale,
+                    nu.q.reshape(r, c), nu.scale,
+                    svec, wd=wd, b1=b1, b2=b2, eps=eps, interpret=interpret,
+                )
+                return (
+                    upd.reshape(g.shape),
+                    _QMoment(mq.reshape(g.shape), ms),
+                    _QMoment(nq.reshape(g.shape), ns),
+                )
+            # XLA fallback, same folding
+            if not isinstance(mu, _QMoment):
+                m, v, step = adam_math(mu, nu, g.astype(jnp.float32))
+                new_mu, new_nu = m, v
+            elif _is_shaped(mu, g.shape):
+                m = _dequantize_signed_shaped(mu, g.shape)
+                v = _dequantize_log_shaped(nu, g.shape)
+                m, v, step = adam_math(m, v, g.astype(jnp.float32))
+                new_mu, new_nu = _quantize_signed_shaped(m), _quantize_log_shaped(v)
+            else:
+                m = _dequantize_signed(mu, g.shape, g.size)
+                v = _dequantize_log(nu, g.shape, g.size)
+                m, v, step = adam_math(m, v, g.astype(jnp.float32))
+                new_mu, new_nu = _quantize_signed(m, g.size), _quantize_log(v, g.size)
+            if wd:
+                step = step + wd * p.astype(jnp.float32)
+            return (-lr * step).astype(g.dtype), new_mu, new_nu
+
+        # traversal follows ``updates``; params default to the updates tree
+        # (same structure; only read when wd != 0, which requires params)
+        params_t = params if params is not None else updates
+        if weight_decay and mask is not None:
+            wd_t = mask(updates) if callable(mask) else mask
+        else:
+            wd_t = jax.tree_util.tree_map(lambda _: bool(weight_decay), updates)
+
+        flat = jax.tree_util.tree_map_with_path(
+            upd_leaf, updates, state.mu, state.nu, params_t, wd_t
         )
-    ]
-    if weight_decay:
-        chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
-    chain.append(optax.scale_by_learning_rate(learning_rate))
-    return optax.chain(*chain)
+        is3 = lambda x: isinstance(x, tuple) and not isinstance(x, _QMoment) and len(x) == 3
+        steps = jax.tree_util.tree_map(lambda t: t[0] if is3(t) else t, flat, is_leaf=is3)
+        mu = jax.tree_util.tree_map(lambda t: t[1] if is3(t) else t, flat, is_leaf=is3)
+        nu = jax.tree_util.tree_map(lambda t: t[2] if is3(t) else t, flat, is_leaf=is3)
+        return steps, ScaleByAdam8bitState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def opt_state_bytes(opt_state: Any) -> int:
