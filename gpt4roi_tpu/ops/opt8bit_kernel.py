@@ -7,10 +7,17 @@ against a ~2.5 ms/layer HBM roofline — the (nblocks, 256) moment storage
 forces a full relayout copy of every tensor on each quantize/dequantize,
 and the per-layer lax.map (round-4 OOM fix) serialized those copies. Here
 the int8 moments are stored PARAM-SHAPED (same tiled layout as the grad, so
-every reshape in the chain is free) with (rows, C/256) f32 block scales —
-the block semantics are unchanged: 256 contiguous elements of the row-major
-flattened tensor share one scale, exactly the bitsandbytes blockwise scheme
+no relayout ever happens) with (rows, C/256) f32 block scales — the block
+semantics are unchanged: 256 contiguous elements of the row-major flattened
+tensor share one scale, exactly the bitsandbytes blockwise scheme
 (reference: gpt4roi/train/llava_trainer.py:144-157).
+
+Kernel layout notes (Mosaic): a 1D grid over row tiles; each instance owns
+a (tr, C) tile of every tensor plus its (tr, C/256) scale rows. Blockwise
+views are LANE-SPLIT reshapes (tr, C) -> (tr, C/256, 256), which Mosaic
+supports (probed on this backend) — sublane/lane-mixing reshapes like
+(tr, C) -> (tr*C/256, 256) are not. 8-bit <-> f32 casts hop through int32
+(no direct 8-bit <-> float cast either).
 
 The kernel emits the FINAL update delta (-lr * (adam_step + wd * p)) plus
 re-quantized moments; moment buffers are donated via input_output_aliases
@@ -40,43 +47,50 @@ _INV_LOG2_10 = 1.0 / _LOG2_10
 def _kernel(svec_ref, g_ref, p_ref, mq_ref, ms_ref, nq_ref, ns_ref,
             upd_ref, mqo_ref, mso_ref, nqo_ref, nso_ref,
             *, nbc: int, wd: float, b1: float, b2: float, eps: float):
-    cscale = svec_ref[0, 0]
-    bc1 = svec_ref[0, 1]
-    bc2 = svec_ref[0, 2]
-    lr = svec_ref[0, 3]
+    cscale = svec_ref[0]
+    bc1 = svec_ref[1]
+    bc2 = svec_ref[2]
+    lr = svec_ref[3]
     tr, c = g_ref.shape
-    rows = tr * nbc
 
-    g = g_ref[:].astype(jnp.float32).reshape(rows, BLOCK) * cscale
-    m = mq_ref[:].reshape(rows, BLOCK).astype(jnp.float32) * ms_ref[:].reshape(rows, 1)
-    iq = nq_ref[:].reshape(rows, BLOCK).astype(jnp.float32)
+    def split(x):  # lane-split blockwise view
+        return x.reshape(tr, nbc, BLOCK)
+
+    g = split(g_ref[:].astype(jnp.float32)) * cscale
+    # Mosaic has no direct 8-bit <-> f32 cast; hop through int32
+    m = split(mq_ref[:].astype(jnp.int32).astype(jnp.float32)) * ms_ref[:][..., None]
+    iq = split(nq_ref[:].astype(jnp.int32).astype(jnp.float32))
     # v dequant: 10 ** (((i-1)/254 - 1) * LOG_DECADES), index 0 = exact zero
     val = jnp.exp2(((iq - 1.0) / 254.0 - 1.0) * (LOG_DECADES * _LOG2_10))
-    v = jnp.where(iq > 0.0, val, 0.0) * ns_ref[:].reshape(rows, 1)
+    v = jnp.where(iq > 0.0, val, 0.0) * ns_ref[:][..., None]
 
     m = b1 * m + (1.0 - b1) * g
     v = b2 * v + (1.0 - b2) * g * g
     step = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
     if wd:
-        step = step + wd * p_ref[:].astype(jnp.float32).reshape(rows, BLOCK)
+        step = step + wd * split(p_ref[:].astype(jnp.float32))
     upd_ref[:] = (-lr * step).reshape(tr, c).astype(upd_ref.dtype)
 
     # requant m: blockwise absmax linear int8
-    amax = jnp.max(jnp.abs(m), axis=1, keepdims=True)
+    amax = jnp.max(jnp.abs(m), axis=-1, keepdims=True)
     msc = jnp.where(amax > 0.0, amax / 127.0, 1.0)
     mqo_ref[:] = (
-        jnp.clip(jnp.round(m / msc), -127, 127).astype(jnp.int8).reshape(tr, c)
+        jnp.clip(jnp.round(m / msc), -127, 127)
+        .astype(jnp.int32)
+        .astype(jnp.int8)
+        .reshape(tr, c)
     )
     mso_ref[:] = msc.reshape(tr, nbc)
 
     # requant v: log-domain uint8 over LOG_DECADES decades below block max
-    vmax = jnp.max(v, axis=1, keepdims=True)
+    vmax = jnp.max(v, axis=-1, keepdims=True)
     vsc = jnp.where(vmax > 0.0, vmax, 1.0)
     norm = v / vsc
     logn = jnp.log2(jnp.maximum(norm, 10.0 ** -LOG_DECADES)) * _INV_LOG2_10
     idx = jnp.round((logn / LOG_DECADES + 1.0) * 254.0) + 1.0
     nqo_ref[:] = (
         jnp.where(norm > 0.0, jnp.clip(idx, 1.0, 255.0), 0.0)
+        .astype(jnp.int32)
         .astype(jnp.uint8)
         .reshape(tr, c)
     )
@@ -95,7 +109,7 @@ def fused_adamw8bit_leaf(
     ms: jax.Array,  # (R, C // 256) f32 block scales
     nq: jax.Array,  # (R, C) uint8 second-moment codes
     ns: jax.Array,  # (R, C // 256) f32
-    svec: jax.Array,  # (1, 4) f32: [clip_scale, bc1, bc2, lr]
+    svec: jax.Array,  # (4,) f32: [clip_scale, bc1, bc2, lr]
     wd: float = 0.0,
     b1: float = 0.9,
     b2: float = 0.999,
@@ -107,26 +121,28 @@ def fused_adamw8bit_leaf(
     r, c = g.shape
     assert c % BLOCK == 0, c
     nbc = c // BLOCK
-    # ~1M-element tiles; ragged tails are masked by Pallas block clipping
-    tr = max(8, min(512, (1 << 20) // c))
+    # tile rows so the f32 transients (4 B/el, ~8 live at once before
+    # Mosaic reuses stack slots) stay under VMEM: ~128K elements per tile
+    # (0.5M-element tiles measured 19.3M of scoped vmem, over the 16M cap)
+    tr = max(8, min(256, ((1 << 17) // c) // 8 * 8))
     grid = (pl.cdiv(r, tr),)
 
     kern = functools.partial(_kernel, nbc=nbc, wd=wd, b1=b1, b2=b2, eps=eps)
-    row_spec = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((tr, nbc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((tr, nbc), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            row_spec,  # g
-            row_spec,  # p
-            row_spec,  # mq
-            sc_spec,  # ms
-            row_spec,  # nq
-            sc_spec,  # ns
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # svec, whole (4,)
+            row,  # g
+            row,  # p
+            row,  # mq
+            srow,  # ms
+            row,  # nq
+            srow,  # ns
         ],
-        out_specs=[row_spec, row_spec, sc_spec, row_spec, sc_spec],
+        out_specs=[row, row, srow, row, srow],
         out_shape=[
             jax.ShapeDtypeStruct((r, c), g.dtype),
             jax.ShapeDtypeStruct((r, c), jnp.int8),

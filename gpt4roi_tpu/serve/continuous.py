@@ -105,11 +105,17 @@ class ContinuousEngine:
     """
 
     def __init__(self, engine: Engine, n_slots: int = 8, chunk_size: int = 16,
-                 seed: int = 0):
+                 seed: int = 0, prefill_chunk: Optional[int] = None):
         assert engine._stacked, "continuous batching requires the stacked decode layout"
         self.engine = engine
         self.n = int(n_slots)
         self.chunk = int(chunk_size)
+        # chunked prefill (beyond reference; vLLM-style): prompts longer
+        # than ``prefill_chunk`` are processed one fragment per step,
+        # interleaved with decode chunks, so admitting a long prompt never
+        # stalls the running decode batch for the whole prefill. None =
+        # admit with one monolithic prefill (the round-3 behavior).
+        self.prefill_chunk = int(prefill_chunk) if prefill_chunk else None
         self.S = int(engine.ecfg.max_seq_len)
         cfg = engine.kv_config()
         self.cache = init_stacked_cache(cfg, self.n, self.S, dtype=engine.ecfg.compute_dtype)
@@ -123,6 +129,8 @@ class ContinuousEngine:
         self.temp = np.zeros((self.n,), np.float32)
         self.handles: List[Optional[Handle]] = [None] * self.n
         self.sessions: List[Optional["ContinuousSession"]] = [None] * self.n
+        # per-slot in-progress chunked prefill state (dict) or None
+        self.prefilling: List[Optional[Dict[str, Any]]] = [None] * self.n
         self.reserved = np.zeros((self.n,), bool)  # parked sessions hold rows
         self.active = np.zeros((self.n,), bool)
 
@@ -220,6 +228,24 @@ class ContinuousEngine:
     def _admit(self, job: _Job, slot: int) -> None:
         e = self.engine
         h = job.handle
+        if job.kind == "prefill" and self.prefill_chunk and len(job.kw["prompt"]) > self.prefill_chunk:
+            # chunked admission: encode vision now (small, bounded), then
+            # process the prompt fragment-by-fragment across steps — the
+            # decode batch keeps running between fragments
+            prompt = job.kw["prompt"]
+            assert len(prompt) + h.max_new_tokens <= self.S, "prompt exceeds slot capacity"
+            img_f, spi_f = e._encode_vision(
+                e.params, jnp.asarray(job.kw["images"]), jnp.asarray(job.kw["boxes"]),
+                jnp.asarray(job.kw["box_mask"]),
+            )
+            ids = np.zeros((1, self.S), np.int32)
+            ids[0, : len(prompt)] = prompt
+            self.prefilling[slot] = {
+                "ids": jnp.asarray(ids), "target": len(prompt), "done": 0,
+                "image_feats": img_f, "spi_feats": spi_f, "handle": h,
+            }
+            self.reserved[slot] = True
+            return
         if job.kind == "prefill":
             prompt = job.kw["prompt"]
             s = len(prompt)
@@ -262,6 +288,11 @@ class ContinuousEngine:
             pos = sess.pos
             self.sessions[slot] = sess
 
+        self._activate(slot, h, lrow, pos)
+
+    def _activate(self, slot: int, h: Handle, lrow: np.ndarray, pos: int) -> None:
+        """Sample the first token from the prefill/extend logits row and
+        enter the slot into the running decode batch."""
         nxt = self._first_token(lrow, h)
         h._push([nxt])
         if self.sessions[slot] is not None:
@@ -276,6 +307,38 @@ class ContinuousEngine:
         self.active[slot] = True
         if self._finished(h):
             self._evict(slot)
+
+    def _prefill_fragment(self, slot: int) -> None:
+        """Process ONE prompt fragment of an in-progress chunked prefill;
+        on the last fragment, activate the slot into the decode batch."""
+        st = self.prefilling[slot]
+        e = self.engine
+        h: Handle = st["handle"]
+        if h.cancelled:
+            self.prefilling[slot] = None
+            self.reserved[slot] = False
+            h.done.set()
+            return
+        start = st["done"]
+        n_frag = min(self.prefill_chunk, st["target"] - start)
+        # fragment lengths quantize to the chunk size (one compiled shape);
+        # overshoot rows hold garbage KV and are REWRITTEN by the next
+        # fragment (done advances by n_frag, not frag_len)
+        frag_len = min(_round_up(n_frag, self.prefill_chunk), self.S - start)
+        ck, cv = self.cache
+        k1, v1 = self._read_slot(ck, cv, jnp.int32(slot))
+        logits, (k1, v1) = e._extend(
+            e.params, (k1, v1), st["ids"], st["image_feats"], st["spi_feats"],
+            jnp.int32(start), frag_len,
+        )
+        ck, cv = self.cache
+        self.cache = self._write_slot(ck, cv, k1, v1, jnp.int32(slot))
+        st["done"] = start + n_frag
+        if st["done"] >= st["target"]:
+            lrow = np.asarray(logits)[0, n_frag - 1]
+            self.prefilling[slot] = None
+            self.reserved[slot] = False
+            self._activate(slot, h, lrow, st["target"])
 
     def _finished(self, h: Handle) -> bool:
         return (
@@ -322,6 +385,12 @@ class ContinuousEngine:
                 self.queue.popleft()
             self._admit(job, slot)
             admitted = True
+        # one fragment per in-progress chunked prefill per step: prefill
+        # work interleaves with decode chunks instead of blocking them
+        for i in range(self.n):
+            if self.prefilling[i] is not None:
+                self._prefill_fragment(i)
+                admitted = True
         if not self.active.any():
             return admitted
 
@@ -363,7 +432,7 @@ class ContinuousEngine:
         for _ in range(max_steps):
             with self.lock:
                 empty = not self.queue
-            if empty and not self.active.any():
+            if empty and not self.active.any() and not any(self.prefilling):
                 return
             self.step()
         raise RuntimeError("run_until_idle did not converge")

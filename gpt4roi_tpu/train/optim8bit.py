@@ -295,7 +295,7 @@ def adamw_8bit(
             cscale = clip_global_norm / jnp.maximum(gnorm, clip_global_norm)
         else:
             cscale = jnp.float32(1.0)
-        svec = jnp.stack([cscale, bc1, bc2, lr]).reshape(1, 4)
+        svec = jnp.stack([cscale, bc1, bc2, lr])
         interpret = os.environ.get("GPT4ROI_OPT8BIT_KERNEL") == "interpret"
         kernel_ok = use_kernel()
 

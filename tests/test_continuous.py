@@ -245,3 +245,64 @@ def test_churn_stress_slot_reuse_and_parity(tiny_engine, rng):
 def _submit(ce, req):
     (ids, img, bx, m), n_new, _ = req
     return ce.submit(list(ids[0]), img, bx, m, max_new_tokens=n_new, temperature=0.0)
+
+
+def test_chunked_prefill_interleaves_with_decode(tiny_engine, rng):
+    """A long prompt admitted with ``prefill_chunk`` set is prefilled one
+    fragment per step while the running request KEEPS decoding between
+    fragments; the chunked request still reproduces its solo greedy output
+    exactly (beyond reference — the reference worker serializes whole
+    requests, llava/serve/model_worker.py:168-260)."""
+    from gpt4roi_tpu.serve.continuous import ContinuousEngine
+
+    eng, cfg = tiny_engine
+    ce = ContinuousEngine(eng, n_slots=4, chunk_size=4, prefill_chunk=24)
+
+    # A: short prompt (<= prefill_chunk -> monolithic admission), long
+    # generation — the victim that must not stall
+    ids, img, bx, m = make_batch(cfg, rng, b=1, s=20)
+    a = ce.submit(list(ids[0]), img, bx, m, max_new_tokens=30, temperature=0.0)
+    ce.step()
+    n_a0 = len(a.tokens)
+    assert n_a0 >= 1
+
+    # B: long prompt (> prefill_chunk) -> chunked admission over 4 steps
+    ids2, img2, bx2, m2 = make_batch(cfg, rng, b=1, s=60)
+    want_b = eng.generate(ids2, img2, bx2, m2, max_new_tokens=6, temperature=0.0, chunk_size=4)[0]
+    b = ce.submit(list(ids2[0]), img2, bx2, m2, max_new_tokens=6, temperature=0.0)
+
+    import math
+    n_frags = math.ceil(60 / 24)
+    for i in range(n_frags):
+        n_a_before = len(a.tokens)
+        ce.step()
+        # decode keeps flowing for A during every prefill fragment
+        assert len(a.tokens) > n_a_before, f"A stalled during fragment {i}"
+        if i < n_frags - 1:
+            assert not b.tokens, "B must not emit before its prompt completes"
+    assert len(b.tokens) >= 1, "B activates on its final fragment"
+
+    ce.run_until_idle()
+    assert b.result() == want_b
+    want_a = eng.generate(ids, img, bx, m, max_new_tokens=30, temperature=0.0, chunk_size=4)[0]
+    assert a.result() == want_a
+    assert not ce.active.any() and not ce.reserved.any()
+    assert all(p is None for p in ce.prefilling)
+
+
+def test_chunked_prefill_cancel_frees_slot(tiny_engine, rng):
+    """Cancelling a request mid-chunked-prefill frees its slot without
+    activating it."""
+    from gpt4roi_tpu.serve.continuous import ContinuousEngine
+
+    eng, cfg = tiny_engine
+    ce = ContinuousEngine(eng, n_slots=2, chunk_size=4, prefill_chunk=16)
+    ids, img, bx, m = make_batch(cfg, rng, b=1, s=60)
+    h = ce.submit(list(ids[0]), img, bx, m, max_new_tokens=6, temperature=0.0)
+    ce.step()  # admits + first fragment
+    assert any(p is not None for p in ce.prefilling)
+    h.cancel()
+    ce.step()
+    assert all(p is None for p in ce.prefilling)
+    assert not ce.reserved.any() and not ce.active.any()
+    assert h.done.is_set() and h.tokens == []
