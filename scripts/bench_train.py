@@ -153,10 +153,17 @@ def main():
     if args.depths:
         depths = sorted({int(d) for d in args.depths.split(",")}, reverse=True)
         assert len(depths) >= 2
-        ts = []
+        ts, kept = [], []
         for L in depths:
-            t, _ = measure_depth(args, L, dtype, param_dtype, args.k)
+            try:
+                t, _ = measure_depth(args, L, dtype, param_dtype, args.k)
+            except Exception as e:  # depth doesn't fit this chip (HBM OOM)
+                print(f"depth {L} failed ({type(e).__name__}); dropping", file=sys.stderr)
+                continue
             ts.append(t)
+            kept.append(L)
+        depths = kept
+        assert len(depths) >= 2, "need >= 2 depths that fit"
         xs = np.asarray(depths, np.float64)
         ys = np.asarray(ts, np.float64)
         slope, intercept = np.polyfit(xs, ys, 1)

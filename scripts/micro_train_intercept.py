@@ -147,6 +147,15 @@ def main():
 
     from gpt4roi_tpu.ops.norms import group_norm as _gn
 
+    feats0 = [
+        interpolate_bilinear(
+            p.reshape(B, scfg.base_grid, scfg.base_grid, scfg.embed_dims), (s, s),
+            align_corners=True,
+        )
+        for p, s in zip(pyramid, scfg.level_sizes)
+    ]
+    feats0 = [jnp.asarray(f) for f in feats0]
+
     def _rounds_fwdbwd(label, use_gn, use_interp):
         rc, sc_ = scfg.remain_channels, scfg.shuffle_channels
         n = scfg.num_levels
@@ -219,15 +228,6 @@ def main():
     timeit(roi_only, (feats0, boxes, box_mask), label="RoIAlign x4 levels fwd+bwd")
 
     # ---- RoI heads only (align + pconvs + flatten + updims), fwd+bwd
-    feats0 = [
-        interpolate_bilinear(
-            p.reshape(B, scfg.base_grid, scfg.base_grid, scfg.embed_dims), (s, s),
-            align_corners=True,
-        )
-        for p, s in zip(pyramid, scfg.level_sizes)
-    ]
-    feats0 = [jnp.asarray(f) for f in feats0]
-
     @jax.jit
     def heads_fwdbwd(spi_p, feats, boxes, box_mask, salt):
         salt = (salt * 1e-30).astype(feats[0].dtype)
