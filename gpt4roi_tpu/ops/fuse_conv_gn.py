@@ -1,12 +1,15 @@
 """Pallas int8 fuse-conv epilogue for the SPI shuffle-fuse pyramid.
 
 The static-W8A8 fuse round (models/spi.py::one_round_static) runs ONE int8
-3x3 conv per level, then scale -> GroupNorm(64) -> ReLU in XLA. XLA
-materialises the int32 conv output in HBM (4 B/el), reads it back for the
-scale/GN-stats pass, and writes the bf16 map — at the production encode
-shape that int32 round-trip plus the stats pass is ~1.8 GB of HBM traffic
-per round that never needed to exist (PARITY.md known-gaps: fuse rounds
-measured ~71 ms vs ~50 ms of pure int8 MXU time).
+3x3 conv per level, then scale -> GroupNorm(64) -> ReLU in XLA.
+
+MEASURED OUTCOME (scripts/micro_fuse_epilogue.py, v5e, 2026-08-19): this
+kernel is numerically clean (rel-err <= 4.7e-3, bf16 class) but a WASH vs
+the XLA chain — 16.58 ms vs 16.50 ms per round over the 4 production
+levels. XLA already fuses the scale/GN-stats epilogue into its int8 conv;
+the int32-in-HBM round-trip this kernel was built to remove does not
+exist in the lowered HLO. Kept as fuse mode="pallas" (default off) as the
+measured closure of PARITY.md's round-3 encode lever.
 
 This kernel computes the conv as 9 shifted int8 MXU dots on a halo'd VMEM
 tile (manually DMA'd from a spatially pre-padded int8 map), applies the
@@ -22,9 +25,11 @@ given the (B, 64) stats they are pure elementwise ops that fuse into the
 consumers (bilinear interp reads + int8 concat), so no second Pallas pass
 is needed.
 
-Grid: (B, cout_tiles, h_tiles), h innermost so the stats output block (per
-(b, cout_tile)) is revisited across h steps and accumulates in VMEM; the
-weight block (per cout_tile) stays resident across the inner h sweep.
+Grid: (B, cout_tiles, h_tiles), h innermost so the weight block (per
+cout_tile) stays resident across the inner h sweep. Each grid step writes
+ONE row of the tiny (B*n_ct*n_ht, gt) stats buffers (dynamic-sublane
+store; Mosaic rejects lane-offset partial blocks), and the n_ht reduction
++ group concatenation finish in XLA on ~KBs of data.
 
 Reference op being replaced: the fuse ConvModule + GN of
 gpt4roi/models/layers.py:128-180 (mmcv/cnn/bricks/conv_module.py:16) — an
@@ -45,8 +50,10 @@ GN_GROUPS = 64
 
 
 def _kernel(x_ref, w_ref, scale_ref, y_ref, ssum_ref, ssq_ref, xs, sem,
-            *, th: int, w: int, cin: int, ct: int, gsize: int):
+            *, th: int, w: int, cin: int, ct: int, gsize: int,
+            n_ct: int, n_ht: int):
     b = pl.program_id(0)
+    ci = pl.program_id(1)
     ht = pl.program_id(2)
 
     # halo'd input rows: the map is pre-padded spatially, so the slice is
@@ -58,11 +65,14 @@ def _kernel(x_ref, w_ref, scale_ref, y_ref, ssum_ref, ssq_ref, xs, sem,
     dma.wait()
 
     acc = jnp.zeros((th, w, ct), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            xt = xs[dy : dy + th, dx : dx + w, :]
+    # hoist the dx column shifts: a dx!=0 slice is a misaligned-sublane
+    # window that costs a vector shift of the whole tile — 3 shifts
+    # (reused across dy) instead of 9
+    for dx in range(3):
+        xdx = xs[:, dx : dx + w, :]
+        for dy in range(3):
             acc = acc + jax.lax.dot_general(
-                xt,
+                xdx[dy : dy + th],
                 w_ref[dy, dx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -71,25 +81,36 @@ def _kernel(x_ref, w_ref, scale_ref, y_ref, ssum_ref, ssq_ref, xs, sem,
     y_ref[0] = accf.astype(jnp.bfloat16)
 
     gt = ct // gsize  # GN groups covered by this cout tile
-    colsum = jnp.sum(accf, axis=(0, 1))  # (ct,)
-    colsq = jnp.sum(accf * accf, axis=(0, 1))
-    gsum = jnp.sum(colsum.reshape(gt, gsize), axis=-1)
-    gsq = jnp.sum(colsq.reshape(gt, gsize), axis=-1)
+    colsum = jnp.sum(accf, axis=(0, 1)).reshape(1, ct)
+    colsq = jnp.sum(accf * accf, axis=(0, 1)).reshape(1, ct)
+    # channel -> group reduction as a tiny 0/1-matrix dot: Mosaic cannot
+    # shape-cast (ct,) -> (gt, gsize) (lane -> sublane split)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ct, gt), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (ct, gt), 1)
+    gmat = (rowi // gsize == coli).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    gsum = jax.lax.dot_general(colsum, gmat, dn, preferred_element_type=jnp.float32)
+    gsq = jax.lax.dot_general(colsq, gmat, dn, preferred_element_type=jnp.float32)
 
-    @pl.when(ht == 0)
-    def _():
-        ssum_ref[0] = jnp.zeros((gt,), jnp.float32)
-        ssq_ref[0] = jnp.zeros((gt,), jnp.float32)
+    # each grid step owns ONE row of the (B*n_ct*n_ht, gt) stats buffers
+    # (write-once, reduced over n_ht in XLA): Mosaic allows dynamic
+    # SUBLANE stores, not the lane-offset partial blocks a (B, groups)
+    # layout would need
+    r = (b * n_ct + ci) * n_ht + ht
+    ssum_ref[pl.ds(r, 1), :] = gsum
+    ssq_ref[pl.ds(r, 1), :] = gsq
 
-    ssum_ref[0] += gsum
-    ssq_ref[0] += gsq
 
-
-@functools.partial(jax.jit, static_argnames=("h_tile", "c_tile", "groups", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_w", "h_tile", "c_tile", "groups", "interpret")
+)
 def fuse_conv_scaled_stats(
-    xpad_q: jax.Array,  # (B, H+2, W+2, Cin) int8, spatially zero-padded
+    xpad_q: jax.Array,  # (B, H+2, Wp, Cin) int8: spatial zero-pad, Wp =
+    # W+2 rounded up to 8 (Mosaic sublane tiling needs 8-aligned DMA
+    # slices along the second-minor dim)
     wq: jax.Array,  # (3, 3, Cin, Cout) int8
     scale: jax.Array,  # (Cout,) f32 — combined act x per-channel weight scale
+    out_w: int = 0,  # true output width W (0 = Wp - 2)
     h_tile: int = 16,
     c_tile: int = 256,
     groups: int = GN_GROUPS,
@@ -102,7 +123,8 @@ def fuse_conv_scaled_stats(
     scaled values (finish GN with mean = gsum/(H*W*group_size) etc.).
     """
     b, hp, wp, cin = xpad_q.shape
-    h, w = hp - 2, wp - 2
+    h = hp - 2
+    w = out_w or (wp - 2)
     cout = wq.shape[-1]
     gsize = cout // groups
     assert cout % c_tile == 0 and c_tile % gsize == 0
@@ -113,8 +135,10 @@ def fuse_conv_scaled_stats(
     gt = c_tile // gsize
 
     kern = functools.partial(
-        _kernel, th=h_tile, w=w, cin=cin, ct=c_tile, gsize=gsize
+        _kernel, th=h_tile, w=w, cin=cin, ct=c_tile, gsize=gsize,
+        n_ct=n_ct, n_ht=n_ht,
     )
+    rows = b * n_ct * n_ht
     y, gsum, gsq = pl.pallas_call(
         kern,
         grid=(b, n_ct, n_ht),
@@ -136,17 +160,19 @@ def fuse_conv_scaled_stats(
                 lambda bi, ci, hi: (bi, hi, 0, ci),
                 memory_space=pltpu.VMEM,
             ),
+            # whole stats buffers resident (constant index map): tiny
+            # (rows x gt x 4 B), every row written exactly once
             pl.BlockSpec(
-                (1, gt), lambda bi, ci, hi: (bi, ci), memory_space=pltpu.VMEM
+                (rows, gt), lambda bi, ci, hi: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, gt), lambda bi, ci, hi: (bi, ci), memory_space=pltpu.VMEM
+                (rows, gt), lambda bi, ci, hi: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w, cout), jnp.bfloat16),
-            jax.ShapeDtypeStruct((b, groups), jnp.float32),
-            jax.ShapeDtypeStruct((b, groups), jnp.float32),
+            jax.ShapeDtypeStruct((rows, gt), jnp.float32),
+            jax.ShapeDtypeStruct((rows, gt), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((h_tile + 2, wp, cin), jnp.int8),
@@ -154,9 +180,17 @@ def fuse_conv_scaled_stats(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # 16-row tiles need ~17M of scoped vmem (weights + halo tile +
+            # int32/f32 accumulators + double-buffered out); the default
+            # 16M cap is conservative on v5e
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xpad_q, wq, scale.reshape(1, -1))
+    # rows layout: ((b * n_ct) + ci) * n_ht + hi — reduce over h tiles,
+    # then cout tiles concatenate into the contiguous group axis
+    gsum = gsum.reshape(b, n_ct, n_ht, gt).sum(axis=2).reshape(b, groups)
+    gsq = gsq.reshape(b, n_ct, n_ht, gt).sum(axis=2).reshape(b, groups)
     return y, gsum, gsq
 
 
@@ -177,10 +211,13 @@ def fuse_round_level_pallas(
     GN-stat reduction order."""
     b, h, w, _ = qcat.shape
     cout = wq.shape[-1]
-    xpad = jnp.pad(qcat, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # right-pad W+2 to a multiple of 8: Mosaic DMA slices along the
+    # second-minor dim must be 8-aligned (extra zero columns are unused)
+    wpad = (-(w + 2)) % 8
+    xpad = jnp.pad(qcat, ((0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
     h_tile = 16 if h >= 64 else h
     y, gsum, gsq = fuse_conv_scaled_stats(
-        xpad, wq, combined_scale, h_tile=h_tile,
+        xpad, wq, combined_scale, out_w=w, h_tile=h_tile,
         c_tile=min(256, cout), groups=groups, interpret=interpret,
     )
     n = h * w * (cout // groups)
