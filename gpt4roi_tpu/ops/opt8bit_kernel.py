@@ -46,7 +46,8 @@ _INV_LOG2_10 = 1.0 / _LOG2_10
 
 def _kernel(svec_ref, g_ref, p_ref, mq_ref, ms_ref, nq_ref, ns_ref,
             upd_ref, mqo_ref, mso_ref, nqo_ref, nso_ref,
-            *, nbc: int, wd: float, b1: float, b2: float, eps: float):
+            *, nbc: int, wd: float, b1: float, b2: float, eps: float,
+            emit_new: bool = False):
     cscale = svec_ref[0]
     bc1 = svec_ref[1]
     bc2 = svec_ref[2]
@@ -67,9 +68,18 @@ def _kernel(svec_ref, g_ref, p_ref, mq_ref, ms_ref, nq_ref, ns_ref,
     m = b1 * m + (1.0 - b1) * g
     v = b2 * v + (1.0 - b2) * g * g
     step = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-    if wd:
-        step = step + wd * split(p_ref[:].astype(jnp.float32))
-    upd_ref[:] = (-lr * step).reshape(tr, c).astype(upd_ref.dtype)
+    if emit_new:
+        # fold optax.apply_updates in: emit p' = p - lr*(step + wd*p)
+        # directly (the separate XLA apply pass re-reads p and upd and
+        # rewrites p — 6 B/el of HBM that never needs to exist)
+        p32 = split(p_ref[:].astype(jnp.float32))
+        if wd:
+            step = step + wd * p32
+        upd_ref[:] = (p32 - lr * step).reshape(tr, c).astype(upd_ref.dtype)
+    else:
+        if wd:
+            step = step + wd * split(p_ref[:].astype(jnp.float32))
+        upd_ref[:] = (-lr * step).reshape(tr, c).astype(upd_ref.dtype)
 
     # requant m: blockwise absmax linear int8
     amax = jnp.max(jnp.abs(m), axis=-1, keepdims=True)
@@ -97,6 +107,53 @@ def _kernel(svec_ref, g_ref, p_ref, mq_ref, ms_ref, nq_ref, ns_ref,
     nso_ref[:] = vsc.reshape(tr, nbc)
 
 
+def _call(g, p, mq, ms, nq, ns, svec, wd, b1, b2, eps, interpret, emit_new):
+    r, c = g.shape
+    assert c % BLOCK == 0, c
+    nbc = c // BLOCK
+    # tile rows so the f32 transients (4 B/el, ~8 live at once before
+    # Mosaic reuses stack slots) stay under VMEM: ~128K elements per tile
+    # (0.5M-element tiles measured 19.3M of scoped vmem, over the 16M cap)
+    tr = max(8, min(256, ((1 << 17) // c) // 8 * 8))
+    grid = (pl.cdiv(r, tr),)
+
+    kern = functools.partial(
+        _kernel, nbc=nbc, wd=wd, b1=b1, b2=b2, eps=eps, emit_new=emit_new
+    )
+    row = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((tr, nbc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # moment buffers always alias their outputs (optimizer state updated
+    # in place); in emit_new mode the param buffer additionally aliases
+    # output 0 (p' overwrites p)
+    aliases = {3: 1, 4: 2, 5: 3, 6: 4}
+    if emit_new:
+        assert p.dtype == g.dtype, (p.dtype, g.dtype)
+        aliases[2] = 0
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # svec, whole (4,)
+            row,  # g
+            row,  # p
+            row,  # mq
+            srow,  # ms
+            row,  # nq
+            srow,  # ns
+        ],
+        out_specs=[row, row, srow, row, srow],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c), g.dtype),
+            jax.ShapeDtypeStruct((r, c), jnp.int8),
+            jax.ShapeDtypeStruct((r, nbc), jnp.float32),
+            jax.ShapeDtypeStruct((r, c), jnp.uint8),
+            jax.ShapeDtypeStruct((r, nbc), jnp.float32),
+        ],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(svec, g, p, mq, ms, nq, ns)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("wd", "b1", "b2", "eps", "interpret"),
@@ -118,40 +175,30 @@ def fused_adamw8bit_leaf(
 ):
     """Returns (upd, mq', ms', nq', ns') with upd = -lr*(adam_step + wd*p).
     Moment inputs are donated (aliased to the outputs)."""
-    r, c = g.shape
-    assert c % BLOCK == 0, c
-    nbc = c // BLOCK
-    # tile rows so the f32 transients (4 B/el, ~8 live at once before
-    # Mosaic reuses stack slots) stay under VMEM: ~128K elements per tile
-    # (0.5M-element tiles measured 19.3M of scoped vmem, over the 16M cap)
-    tr = max(8, min(256, ((1 << 17) // c) // 8 * 8))
-    grid = (pl.cdiv(r, tr),)
+    return _call(g, p, mq, ms, nq, ns, svec, wd, b1, b2, eps, interpret, False)
 
-    kern = functools.partial(_kernel, nbc=nbc, wd=wd, b1=b1, b2=b2, eps=eps)
-    row = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    srow = pl.BlockSpec((tr, nbc), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # svec, whole (4,)
-            row,  # g
-            row,  # p
-            row,  # mq
-            srow,  # ms
-            row,  # nq
-            srow,  # ns
-        ],
-        out_specs=[row, row, srow, row, srow],
-        out_shape=[
-            jax.ShapeDtypeStruct((r, c), g.dtype),
-            jax.ShapeDtypeStruct((r, c), jnp.int8),
-            jax.ShapeDtypeStruct((r, nbc), jnp.float32),
-            jax.ShapeDtypeStruct((r, c), jnp.uint8),
-            jax.ShapeDtypeStruct((r, nbc), jnp.float32),
-        ],
-        # donate the moment buffers: the optimizer state is updated in
-        # place, so no second copy of the int8 moments ever exists
-        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
-        interpret=interpret,
-    )(svec, g, p, mq, ms, nq, ns)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wd", "b1", "b2", "eps", "interpret"),
+    donate_argnums=(1, 2, 3, 4, 5),
+)
+def fused_adamw8bit_leaf_apply(
+    g: jax.Array,
+    p: jax.Array,  # donated: p' aliases its buffer
+    mq: jax.Array,
+    ms: jax.Array,
+    nq: jax.Array,
+    ns: jax.Array,
+    svec: jax.Array,
+    wd: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    interpret: bool = False,
+):
+    """Returns (p', mq', ms', nq', ns') with optax.apply_updates FOLDED IN:
+    p' = p - lr*(adam_step + wd*p), computed in f32 before the cast to
+    p.dtype (one rounding instead of the two the separate upd+add pays).
+    Saves the apply pass's 6 B/el of HBM traffic; p and moments donated."""
+    return _call(g, p, mq, ms, nq, ns, svec, wd, b1, b2, eps, interpret, True)

@@ -80,11 +80,24 @@ def make_train_step(
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     loss = packed_loss_fn if packed else loss_fn
     loss = functools.partial(loss, stage=tcfg.stage, remat=getattr(tcfg, "remat", "full"))
+    # adamw8bit with fused_apply: tx.update's "updates" ARE the new params
+    # (apply folded into the kernel, train/optim8bit.py); merge with the
+    # frozen partition (whose updates stay zero) by stage label
+    emits_new = tcfg.optimizer == "adamw8bit" and getattr(tcfg, "fused_apply", False)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         loss_val, grads = jax.value_and_grad(loss)(state.params, cfg, batch, compute_dtype)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if emits_new:
+            from gpt4roi_tpu.train.state import param_labels
+
+            labels = param_labels(state.params, tcfg.stage)
+            params = jax.tree_util.tree_map(
+                lambda lab, p, u: p if lab == "frozen" else u,
+                labels, state.params, updates,
+            )
+        else:
+            params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         metrics = {"loss": loss_val, "grad_norm": gnorm}
         return TrainState(state.step + 1, params, opt_state), metrics

@@ -254,6 +254,7 @@ def adamw_8bit(
     mask: Optional[Any] = None,
     min_quant_size: int = 4096,
     clip_global_norm: Optional[float] = None,
+    emit_new_params: bool = False,
 ) -> optax.GradientTransformation:
     """Drop-in optax.adamw analog with 8-bit moment storage, as ONE fused
     transformation: clip factor, adam math, bias correction, weight decay
@@ -266,7 +267,16 @@ def adamw_8bit(
     (the round-3 layout) costs two extra full passes over the update tree,
     and the old (nblocks, 256) moment storage added relayout copies — the
     total measured at ~49 ms/layer vs a 2.5 ms roofline (module
-    docstring)."""
+    docstring).
+
+    ``emit_new_params=True`` additionally folds optax.apply_updates INTO
+    the update: the returned "updates" tree holds the NEW PARAMS
+    (p - lr*(step + wd*p), computed in f32 in the same kernel/fused pass),
+    skipping the separate apply pass's read-p/read-upd/write-p HBM
+    round-trip. The caller must then MERGE instead of add — see
+    train/loop.py::make_train_step (frozen multi_transform partitions
+    still return zero updates, so merging needs the stage labels).
+    Requires ``params`` to be passed to update()."""
     base = scale_by_adam_8bit(
         b1=b1, b2=b2, eps=eps, min_quant_size=min_quant_size,
         clip_global_norm=clip_global_norm,
@@ -282,8 +292,13 @@ def adamw_8bit(
         return base.init(params)
 
     def update_fn(updates, state, params=None):
-        from gpt4roi_tpu.ops.opt8bit_kernel import fused_adamw8bit_leaf
+        from gpt4roi_tpu.ops.opt8bit_kernel import (
+            fused_adamw8bit_leaf,
+            fused_adamw8bit_leaf_apply,
+        )
 
+        if emit_new_params and params is None:
+            raise ValueError("adamw_8bit(emit_new_params=True) needs params")
         count = state.count + 1
         cf = count.astype(jnp.float32)
         bc1 = 1.0 - b1**cf
@@ -313,7 +328,8 @@ def adamw_8bit(
             wd = float(weight_decay) if (weight_decay and wd_leaf) else 0.0
             if isinstance(mu, _QMoment) and _is_shaped(mu, g.shape) and kernel_ok:
                 r, c = _rc_view(g.shape)
-                upd, mq, ms, nq, ns = fused_adamw8bit_leaf(
+                kern = fused_adamw8bit_leaf_apply if emit_new_params else fused_adamw8bit_leaf
+                upd, mq, ms, nq, ns = kern(
                     g.reshape(r, c),
                     p.reshape(r, c),
                     mu.q.reshape(r, c), mu.scale,
@@ -341,7 +357,11 @@ def adamw_8bit(
                 new_mu, new_nu = _quantize_signed(m, g.size), _quantize_log(v, g.size)
             if wd:
                 step = step + wd * p.astype(jnp.float32)
-            return (-lr * step).astype(g.dtype), new_mu, new_nu
+            if emit_new_params:
+                out = (p.astype(jnp.float32) - lr * step).astype(p.dtype)
+            else:
+                out = (-lr * step).astype(g.dtype)
+            return out, new_mu, new_nu
 
         # traversal follows ``updates``; params default to the updates tree
         # (same structure; only read when wd != 0, which requires params)

@@ -48,6 +48,11 @@ class TrainConfig:
     # elementwise + attention (near-zero extra FLOPs, ~2x activation bytes);
     # "none" = no remat. bool kept for backward compat (True == "full").
     remat: Any = "full"
+    # adamw8bit only: the update emits NEW PARAMS directly (apply_updates
+    # folded into the fused kernel — saves the separate read-p/read-upd/
+    # write-p HBM pass, ~6 B/param/step); make_train_step merges with the
+    # frozen partition by stage label. Checkpoint layout is unchanged.
+    fused_apply: bool = True
 
 
 def param_labels(params: Any, stage: str) -> Any:
@@ -105,6 +110,7 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
                 schedule, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
                 weight_decay=wd, mask=_decay_mask if wd > 0 else None,
                 clip_global_norm=cfg.grad_clip or None,
+                emit_new_params=getattr(cfg, "fused_apply", False),
             )
             return inner
         else:

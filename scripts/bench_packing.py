@@ -1,40 +1,31 @@
 """Padded vs packed stage-2 training throughput on the attached TPU.
 
-The reference's HF Trainer pads every conversation row to the batch max
-(gpt4roi/datasets/data_modules.py:33-55); this framework's default padded
-path pads to the static ``model_max_length`` (XLA needs static shapes).
-Sequence packing (data/packing.py + gpt4roi_forward_packed) instead fills
-each 2048-token row with several samples under a segment mask, so the
-decoder FLOPs land on real tokens.
+The reference trainer pads every conversation to ``model_max_length``
+(HF Trainer default collator — gpt4roi/datasets/data_modules.py:33-55,
+train_stage2.sh:46 ``--model_max_length 2048``), so short region-QA
+samples waste most of each row's decoder FLOPs. ``data/packing.py`` packs
+multiple samples per row (segment-masked attention, per-segment
+positions); this script measures what that is worth at the stage-2 shape.
 
-Both paths are measured with the SAME step recipe as scripts/bench_train.py
-(scan-layers, dots remat, 8-bit AdamW, bf16 params) at two depths, and the
-32-layer step is extrapolated from the per-layer slope. The figure of merit
-is end-to-end SAMPLES/SEC (and real-token/s): the packed step is slower per
-step (CLIP+SPI run on ~3x more images per row) but carries ~3x more
-samples.
+Length distribution: the stage-2 data files are not in this image, so
+sample lengths are SYNTHESIZED from the mixture's structure (documented
+per dataset below, weights ~ published dataset sizes). Every sample
+carries the fixed ~300-token vision preamble (256 ``<im_patch>`` + system
+prompt + begin_str — data/tokenization.py), plus a conversation whose
+length model is cited inline. The fill fractions are reported so the
+result can be re-derived under a different length model.
 
-Length distribution: the stage-2 data files are absent in this image, so
-per-dataset token lengths are SYNTHESIZED from the mixture's structure
-(gpt4roi/configs/stage2.py; each sample = 258-token image block
-(<im_start> + 256 patches + <im_end>) + instruction preamble + QA rounds as
-each dataset class builds them — see gpt4roi/datasets/*.py):
+Methodology matches scripts/bench_train.py: K/2K scanned steps in one
+dispatch (cancels the ~2 s RPC dispatch constant), two depths for the
+per-layer slope, 32-layer extrapolation, scan-layers + dots remat + int8
+AdamW + bf16 params (the headline bench configuration). Both paths train
+the SAME per-sample work (one image + R regions each); the delta is
+decoder FLOPs spent on padding.
 
-  dataset        weight(k)  median extra text  sigma   basis
-  RefCOCOG           80            110          0.35   1-5 caption rounds (refcoco.py:243-300)
-  flickr30k         150            190          0.40   whole-caption + per-region rounds (flickr30k.py:262-287)
-  VGDATA            160            230          0.40   3-10 region-description rounds (vg.py:241-247)
-  DetLLava          150            320          0.55   LLaVA-150k conversations, long tail (det_llava.py:394-444)
-  VCRDataset        212            380          0.45   object preamble + QA + rationale rounds (vcr.py:104-144)
-  SingleVCR         212            180          0.40   single QA round (vcr.py:215-318)
-  MultiVCR          212            260          0.40   two-round variant (vcr.py:321-425)
-
-Lengths are lognormal(median, sigma) + 258, clipped to [290, 2048]. The
-script prints the realized mean/fill so the assumptions are transparent;
-the RATIO conclusion is insensitive to ±30% on the medians (padding waste
-is dominated by the 2048 static row vs ~600-token means).
-
-Usage: python scripts/bench_packing.py --layers 4 --layers2 2 --json
+Effective throughput = SUPERVISED (label != -100) tokens per second: the
+quantity that actually advances training. Row tok/s (B*S/t) is what
+bench_train.py reports and is identical between the two paths by
+construction — packing's entire win is in effective tokens.
 """
 
 import argparse
@@ -50,55 +41,68 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# (weight_k, median_extra_text_tokens, lognormal_sigma)
-MIXTURE = {
-    "RefCOCOG": (80, 110, 0.35),
-    "flickr30k": (150, 190, 0.40),
-    "VGDATA": (160, 230, 0.40),
-    "DetLLava": (150, 320, 0.55),
-    "VCRDataset": (212, 380, 0.45),
-    "SingleVCRDataset": (212, 180, 0.40),
-    "MultiVCRDataset": (212, 260, 0.40),
-}
-IMAGE_BLOCK = 258  # <im_start> + 256 <im_patch> + <im_end>
+SEQ = 2048
+PREAMBLE = 300  # 1 bos + system/begin_str ~40 + im_start + 256 im_patch + im_end
+
+# Conversation-length models (tokens past the preamble), stage-2 mixture
+# (gpt4roi_tpu/configs/stage2.py == reference gpt4roi/configs/stage2.py).
+# (mean, std, weight): weight ~ dataset size in samples (RefCOCOg ~80k,
+# Flickr30k entities ~149k, VG regions subset ~160k, LLaVA-150k det, VCR
+# ~212k x 3 views). Models: single-turn region captions are short
+# (RefCOCOg/Flickr); VG region QA mid; DetLLava = LLaVA multi-turn
+# instruct (long, heavy tail); VCR QA->R adds 4 choices + rationale;
+# MultiVCR chains turns.
+MIXTURE = [
+    ("refcocog", 35.0, 12.0, 80.0),
+    ("flickr30k", 45.0, 15.0, 149.0),
+    ("vg", 120.0, 40.0, 160.0),
+    ("det_llava", 400.0, 220.0, 150.0),
+    ("vcr", 260.0, 80.0, 212.0),
+    ("single_vcr", 130.0, 40.0, 212.0),
+    ("multi_vcr", 350.0, 110.0, 212.0),
+]
 
 
-def sample_lengths(rng: np.random.Generator, n: int, seq_len: int) -> np.ndarray:
-    names = list(MIXTURE)
-    weights = np.array([MIXTURE[k][0] for k in names], np.float64)
-    weights /= weights.sum()
-    which = rng.choice(len(names), size=n, p=weights)
-    out = np.empty(n, np.int64)
-    for i, w in enumerate(which):
-        _, med, sig = MIXTURE[names[w]]
-        extra = rng.lognormal(np.log(med), sig)
-        out[i] = int(np.clip(IMAGE_BLOCK + extra, 290, seq_len))
+def synth_lengths(n: int, rng: np.random.Generator) -> np.ndarray:
+    names, means, stds, ws = zip(*MIXTURE)
+    w = np.asarray(ws) / sum(ws)
+    which = rng.choice(len(names), size=n, p=w)
+    conv = rng.normal(np.asarray(means)[which], np.asarray(stds)[which])
+    return np.clip(PREAMBLE + conv, PREAMBLE + 8, SEQ).astype(np.int64)
+
+
+def synth_samples(n: int, rng: np.random.Generator, cfg, regions: int):
+    """Samples in the data.collate schema with the synthesized lengths.
+    ~55% of conversation tokens are supervised (answers; questions and the
+    preamble are IGNORE_INDEX — data/tokenization.py masking rules)."""
+    lengths = synth_lengths(n, rng)
+    out = []
+    for l in lengths:
+        ids = rng.integers(5, 31000, (l,)).astype(np.int32)
+        ids[0] = 1
+        ids[1] = cfg.im_start_token_id
+        ids[2 : 2 + cfg.num_image_tokens] = cfg.im_patch_token_id
+        ids[2 + cfg.num_image_tokens] = cfg.im_end_token_id
+        for k in range(min(regions, max(1, (l - PREAMBLE) // 64))):
+            ids[PREAMBLE - 40 + 2 * k] = cfg.bbox_token_id
+        labels = ids.copy()
+        labels[:PREAMBLE] = -100
+        conv = np.arange(PREAMBLE, l)
+        labels[conv[rng.random(len(conv)) > 0.55]] = -100
+        boxes = np.clip(rng.random((regions, 4)).astype(np.float32), 0.05, 0.6)
+        boxes[:, 2:] = boxes[:, :2] + 0.3
+        out.append(
+            {
+                "input_ids": ids,
+                "labels": labels,
+                "image": np.zeros((cfg.clip.image_size,) * 2 + (3,), np.float32),
+                "boxes": boxes,
+            }
+        )
     return out
 
 
-def make_sample(rng: np.random.Generator, cfg, length: int, n_regions: int):
-    """Synthetic tokenized sample matching the collate/packing schema."""
-    ids = rng.integers(5, 31000, (length,)).astype(np.int32)
-    ids[1] = cfg.im_start_token_id
-    ids[2 : 2 + cfg.num_image_tokens] = cfg.im_patch_token_id
-    ids[2 + cfg.num_image_tokens] = cfg.im_end_token_id
-    text0 = 3 + cfg.num_image_tokens
-    n_regions = min(n_regions, max(1, (length - text0 - 2) // 2))
-    for k in range(n_regions):
-        ids[text0 + 1 + 2 * k] = cfg.bbox_token_id
-    labels = ids.copy()
-    labels[: text0 + 2 * n_regions + 2] = -100  # human turns masked
-    boxes = np.clip(rng.random((n_regions, 4)).astype(np.float32), 0.05, 0.6)
-    boxes[:, 2:] = boxes[:, :2] + 0.3
-    return {
-        "input_ids": ids,
-        "labels": labels,
-        "image": rng.standard_normal((224, 224, 3)).astype(np.float32),
-        "boxes": boxes,
-    }
-
-
-def build_step(args, layers, dtype, param_dtype, packed, max_images):
+def build_step(stage: str, layers: int, packed: bool, param_dtype, dtype):
     from gpt4roi_tpu.models.clip_vit import ClipVisionConfig
     from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
     from gpt4roi_tpu.models.llama import LlamaConfig, to_stacked_params
@@ -113,8 +117,8 @@ def build_step(args, layers, dtype, param_dtype, packed, max_images):
     params = dict(params)
     params["llama"] = to_stacked_params(params["llama"])
     tcfg = TrainConfig(
-        stage="stage2", learning_rate=2e-5, total_steps=100, warmup_steps=0,
-        optimizer="adamw8bit", remat=args.remat,
+        stage=stage, learning_rate=2e-5, total_steps=100, warmup_steps=0,
+        optimizer="adamw8bit", remat="dots",
     )
     tx = make_optimizer(tcfg, params)
     state = create_train_state(params, tcfg)
@@ -127,11 +131,32 @@ def build_step(args, layers, dtype, param_dtype, packed, max_images):
 
         return jax.lax.scan(body, state, None, length=n)
 
-    jit_multi = jax.jit(multi, static_argnames=("n",), donate_argnums=(0,))
-    return cfg, state, jit_multi
+    return cfg, state, jax.jit(multi, static_argnames=("n",), donate_argnums=(0,))
 
 
-def time_multi(jit_multi, state, batch, k):
+def padded_batch(samples, cfg, b: int, regions: int):
+    """Reference-style collation: one sample per row, padded to SEQ."""
+    ids = np.zeros((b, SEQ), np.int32)
+    labels = np.full((b, SEQ), -100, np.int32)
+    mask = np.zeros((b, SEQ), np.float32)
+    boxes = np.zeros((b, regions, 4), np.float32)
+    for r, s in enumerate(samples[:b]):
+        l = len(s["input_ids"])
+        ids[r, :l] = s["input_ids"]
+        labels[r, :l] = s["labels"]
+        mask[r, :l] = 1.0
+        boxes[r] = s["boxes"]
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.asarray(mask),
+        "images": jnp.zeros((b,) + (cfg.clip.image_size,) * 2 + (3,), jnp.float32),
+        "boxes": jnp.asarray(boxes),
+        "box_mask": jnp.ones((b, regions), bool),
+    }
+
+
+def time_multi(jit_multi, state, batch, k: int):
     state, losses = jit_multi(state, batch, k)
     float(np.asarray(losses)[-1])
     state, losses = jit_multi(state, batch, 2 * k)
@@ -142,30 +167,22 @@ def time_multi(jit_multi, state, batch, k):
     t_k = time.perf_counter() - t0
     t0 = time.perf_counter()
     state, losses = jit_multi(state, batch, 2 * k)
-    loss = float(np.asarray(losses)[-1])
+    float(np.asarray(losses)[-1])
     t_2k = time.perf_counter() - t0
     del state
-    return (t_2k - t_k) / k, loss
-
-
-def measure(args, layers, dtype, param_dtype, packed, batch, max_images, k):
-    cfg, state, jit_multi = build_step(args, layers, dtype, param_dtype, packed, max_images)
-    return time_multi(jit_multi, state, batch, k)
+    return (t_2k - t_k) / k
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--layers", type=int, default=4)
-    p.add_argument("--layers2", type=int, default=2)
-    p.add_argument("--rows", type=int, default=2, help="device rows (= reference per-device batch)")
-    p.add_argument("--seq", type=int, default=2048)
-    p.add_argument("--k", type=int, default=3)
-    p.add_argument("--remat", default="dots", choices=["full", "dots", "none"])
+    p.add_argument("--batch", type=int, default=2, help="rows per step, both paths")
+    p.add_argument("--regions", type=int, default=16)
+    p.add_argument("--depths", default="4,2")
     p.add_argument("--full_layers", type=int, default=32)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--nsamples", type=int, default=2048, help="stream for fill stats")
+    p.add_argument("--max_images", type=int, default=0, help="0 = p95 of bin occupancy")
     p.add_argument("--json", action="store_true")
-    p.add_argument("--dry_run", action="store_true",
-                   help="host-side only: distribution stats + batch construction")
     args = p.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -175,120 +192,87 @@ def main():
     except Exception:
         pass
 
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    param_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-
-    rng = np.random.default_rng(args.seed)
-    # --- distribution statistics (host-only) -----------------------------
     from gpt4roi_tpu.data.packing import PackSpec, collate_packed, first_fit_pack
-
-    pool = sample_lengths(rng, 8192, args.seq)
-    bins = first_fit_pack(pool.tolist(), args.seq)
-    fill = pool.sum() / (len(bins) * args.seq)
-    samples_per_row = len(pool) / len(bins)
-    stats = {
-        "mean_len": round(float(pool.mean()), 1),
-        "p50_len": int(np.percentile(pool, 50)),
-        "p90_len": int(np.percentile(pool, 90)),
-        "padded_fill": round(float(pool.mean()) / args.seq, 4),
-        "packed_fill": round(float(fill), 4),
-        "samples_per_row": round(float(samples_per_row), 2),
-    }
-
-    # --- build one representative packed batch (rows=args.rows) ----------
-    from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig
     from gpt4roi_tpu.models.clip_vit import ClipVisionConfig
+    from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig
     from gpt4roi_tpu.models.llama import LlamaConfig
 
-    cfg0 = Gpt4RoiConfig(
-        clip=ClipVisionConfig.vit_l_14(), llama=LlamaConfig(num_layers=1)
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    param_dtype = jnp.bfloat16
+
+    cfg0 = Gpt4RoiConfig(clip=ClipVisionConfig.vit_l_14(), llama=LlamaConfig.llama_7b())
+    rng = np.random.default_rng(0)
+    samples = synth_samples(args.nsamples, rng, cfg0, args.regions)
+    lengths = np.asarray([len(s["input_ids"]) for s in samples])
+    sup = np.asarray([(s["labels"] != -100).sum() for s in samples])
+
+    # ---- distribution bookkeeping (exact, host-side) ---------------------
+    bins = first_fit_pack(lengths.tolist(), SEQ)
+    occupancy = np.asarray([len(b) for b in bins])
+    fill_pad = lengths.mean() / SEQ
+    fill_pack = lengths.sum() / (len(bins) * SEQ)
+    samples_per_row = args.nsamples / len(bins)
+    max_images = args.max_images or int(
+        np.ceil(np.percentile(occupancy, 95)) * args.batch
     )
-    # draw samples until first-fit fills args.rows rows to >= the pool fill
-    drawn, lens = [], []
-    target = int(round(samples_per_row * args.rows))
-    while len(drawn) < target:
-        L = int(sample_lengths(rng, 1, args.seq)[0])
-        if sum(lens) + L > args.rows * args.seq:
+    sup_per_sample = float(sup.mean())
+
+    # ---- one representative packed batch for timing ----------------------
+    # rows = batch; take the fullest bins (static max_images bounds images)
+    order = np.argsort(-occupancy)
+    chosen = []
+    for bi in order:
+        if len(bins[bi]) + len(chosen) <= max_images:
+            chosen.extend(bins[bi][: max_images - len(chosen)])
+        if len(chosen) >= max_images - 1:
             break
-        lens.append(L)
-        drawn.append(make_sample(rng, cfg0, L, n_regions=int(rng.integers(1, 5))))
-    max_images = len(drawn)
     pspec = PackSpec(
-        seq_len=args.seq, max_regions=8, image_size=224, pad_token_id=0,
-        im_patch_token_id=cfg0.im_patch_token_id, bbox_token_id=cfg0.bbox_token_id,
-        num_image_tokens=cfg0.num_image_tokens, max_images=max_images, rows=args.rows,
+        seq_len=SEQ, max_regions=args.regions, image_size=cfg0.clip.image_size,
+        pad_token_id=0, im_patch_token_id=cfg0.im_patch_token_id,
+        bbox_token_id=cfg0.bbox_token_id, num_image_tokens=cfg0.num_image_tokens,
+        max_images=max_images, rows=args.batch,
     )
-    packed_batch = collate_packed(drawn, pspec)
-    packed_batch.pop("num_images")
-    n_packed = len(drawn)
-    real_tokens_packed = int(sum(min(l, args.seq) for l in lens))
+    packed_np = collate_packed([samples[i] for i in chosen], pspec)
+    packed = {k: jnp.asarray(v) for k, v in packed_np.items()}
 
-    # --- padded batch: same stream, one sample per row --------------------
-    pad_samples = drawn[: args.rows]
-    pad_lens = lens[: args.rows]
-    pad_ids = np.zeros((args.rows, args.seq), np.int32)
-    pad_labels = np.full((args.rows, args.seq), -100, np.int32)
-    attn = np.zeros((args.rows, args.seq), np.float32)
-    images = np.stack([s["image"] for s in pad_samples])
-    boxes = np.zeros((args.rows, 8, 4), np.float32)
-    box_mask = np.zeros((args.rows, 8), bool)
-    for i, s in enumerate(pad_samples):
-        n = len(s["input_ids"])
-        pad_ids[i, :n] = s["input_ids"]
-        pad_labels[i, :n] = s["labels"]
-        attn[i, :n] = 1.0
-        bx = s["boxes"][:8]
-        boxes[i, : len(bx)] = bx
-        box_mask[i, : len(bx)] = True
-    padded_batch = {
-        "input_ids": pad_ids, "labels": pad_labels, "attention_mask": attn,
-        "images": images, "boxes": boxes, "box_mask": box_mask,
+    depths = sorted({int(d) for d in args.depths.split(",")}, reverse=True)
+    res = {}
+    for mode in ("padded", "packed"):
+        ts = []
+        for L in depths:
+            cfg, state, jit_multi = build_step("stage2", L, mode == "packed", param_dtype, dtype)
+            batch = (
+                packed if mode == "packed" else padded_batch(samples, cfg, args.batch, args.regions)
+            )
+            ts.append(time_multi(jit_multi, state, batch, args.k))
+            print(f"{mode} L={L}: step {ts[-1] * 1e3:.1f} ms", file=sys.stderr, flush=True)
+        slope = (ts[0] - ts[-1]) / (depths[0] - depths[-1])
+        t_full = ts[0] + slope * (args.full_layers - depths[0])
+        res[mode] = {"step_ms_each": [round(t * 1e3, 1) for t in ts],
+                     "per_layer_ms": round(slope * 1e3, 2),
+                     "step_ms_full": round(t_full * 1e3, 1),
+                     "t_full": t_full}
+
+    # effective throughput at 32 layers
+    pad_samples_s = args.batch / res["padded"]["t_full"]
+    pack_samples_s = samples_per_row * args.batch / res["packed"]["t_full"]
+    out = {
+        "seq": SEQ, "rows": args.batch, "regions": args.regions,
+        "max_images": max_images, "depths": depths,
+        "mean_len": round(float(lengths.mean()), 1),
+        "fill_padded": round(float(fill_pad), 3),
+        "fill_packed": round(float(fill_pack), 3),
+        "samples_per_row_packed": round(float(samples_per_row), 2),
+        "supervised_tok_per_sample": round(sup_per_sample, 1),
+        "padded": {k: v for k, v in res["padded"].items() if k != "t_full"},
+        "packed": {k: v for k, v in res["packed"].items() if k != "t_full"},
+        "padded_samples_per_sec": round(pad_samples_s, 3),
+        "packed_samples_per_sec": round(pack_samples_s, 3),
+        "padded_supervised_tok_per_sec": round(pad_samples_s * sup_per_sample, 1),
+        "packed_supervised_tok_per_sec": round(pack_samples_s * sup_per_sample, 1),
+        "packing_speedup": round(pack_samples_s / pad_samples_s, 2),
     }
-
-    if args.dry_run:
-        out = dict(stats)
-        out.update(
-            {
-                "samples_in_packed_batch": n_packed,
-                "real_tokens_packed": real_tokens_packed,
-                "packed_keys": sorted(packed_batch),
-                "padded_keys": sorted(padded_batch),
-            }
-        )
-        print(json.dumps(out) if args.json else out)
-        return
-
-    def extrapolate(measure_fn):
-        t1, loss = measure_fn(args.layers)
-        t2, _ = measure_fn(args.layers2)
-        slope = (t1 - t2) / (args.layers - args.layers2)
-        return t1 + slope * (args.full_layers - args.layers), slope, loss
-
-    t_pad_full, slope_pad, _ = extrapolate(
-        lambda L: measure(args, L, dtype, param_dtype, False, padded_batch, 0, args.k)
-    )
-    t_pack_full, slope_pack, _ = extrapolate(
-        lambda L: measure(args, L, dtype, param_dtype, True, packed_batch, max_images, args.k)
-    )
-
-    out = dict(stats)
-    out.update(
-        {
-            "rows": args.rows,
-            "seq": args.seq,
-            "samples_in_packed_batch": n_packed,
-            "padded_step_ms_full": round(t_pad_full * 1e3, 1),
-            "packed_step_ms_full": round(t_pack_full * 1e3, 1),
-            "padded_per_layer_ms": round(slope_pad * 1e3, 2),
-            "packed_per_layer_ms": round(slope_pack * 1e3, 2),
-            "padded_samples_per_sec": round(args.rows / t_pad_full, 3),
-            "packed_samples_per_sec": round(n_packed / t_pack_full, 3),
-            "padded_real_tokens_per_sec": round(sum(pad_lens) / t_pad_full, 1),
-            "packed_real_tokens_per_sec": round(real_tokens_packed / t_pack_full, 1),
-            "packing_gain": round((n_packed / t_pack_full) / (args.rows / t_pad_full), 3),
-        }
-    )
     print(json.dumps(out) if args.json else out)
 
 

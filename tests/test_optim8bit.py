@@ -221,3 +221,54 @@ def test_folded_clip_matches_chained_clip():
         uc, sc = tx_chain.update(grads, sc, params)
         for a, b in zip(jax.tree_util.tree_leaves(uf), jax.tree_util.tree_leaves(uc)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("kernel_mode", ["off", "interpret"])
+def test_fused_apply_matches_separate_apply(monkeypatch, kernel_mode):
+    """emit_new_params=True (apply_updates folded into the update — the
+    round-4 fused-apply path, train/loop.py merge) must produce the same
+    training trajectory as update+optax.apply_updates. In f32 the folded
+    p - lr*step and the separate p + (-lr*step) are the same arithmetic;
+    'interpret' additionally drives the Pallas apply kernel
+    (ops/opt8bit_kernel.py::fused_adamw8bit_leaf_apply) on CPU."""
+    import dataclasses
+
+    from gpt4roi_tpu.models.gpt4roi import Gpt4RoiConfig, init_gpt4roi_params
+    from gpt4roi_tpu.train.loop import make_train_step
+    from gpt4roi_tpu.train.state import TrainConfig, create_train_state, make_optimizer
+    from tests.test_train import batch_dict
+
+    monkeypatch.setenv("GPT4ROI_OPT8BIT_KERNEL", kernel_mode)
+    cfg = Gpt4RoiConfig.tiny()
+    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = batch_dict(cfg, rng)
+
+    def run(fused_apply):
+        tcfg = TrainConfig(
+            stage="stage2", learning_rate=1e-3, total_steps=10, warmup_steps=0,
+            optimizer="adamw8bit", fused_apply=fused_apply,
+        )
+        state = create_train_state(params, tcfg)
+        step = make_train_step(cfg, tcfg, make_optimizer(tcfg, params), jnp.float32)
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        return state, metrics
+
+    s_on, m_on = run(True)
+    s_off, m_off = run(False)
+    assert np.isfinite(float(m_on["loss"]))
+    np.testing.assert_allclose(float(m_on["loss"]), float(m_off["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_on.params), jax.tree_util.tree_leaves(s_off.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-5, atol=1e-7
+        )
+    # frozen partition must be untouched by the merge (identity, not +0)
+    for key in ("clip",):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_on.params[key]),
+            jax.tree_util.tree_leaves(params[key]),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
