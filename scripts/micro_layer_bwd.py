@@ -70,7 +70,9 @@ def make_step(cfg, remat, use_flash, with_opt):
     tx = None
     if with_opt:
         from gpt4roi_tpu.train.optim8bit import adamw_8bit
-        tx = adamw_8bit(1e-5)
+        # with_opt == "fused": round-4 fused-apply path (update emits the
+        # new params in-kernel; no separate optax.apply_updates pass)
+        tx = adamw_8bit(1e-5, emit_new_params=(with_opt == "fused"))
 
     def loss_fn(params, embeds, seg):
         _, xh, _ = llama_forward(
@@ -93,7 +95,7 @@ def make_step(cfg, remat, use_flash, with_opt):
         embeds = embeds + (salt * 1e-30).astype(embeds.dtype)
         loss, grads = jax.value_and_grad(loss_fn)(params, embeds, seg)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = updates if with_opt == "fused" else optax.apply_updates(params, updates)
         # consume the NEW opt_state too: the 8-bit re-quantize of both
         # moments writes only into opt_state, so without this XLA would
         # dead-code the quantize half of the round-trip and the
@@ -172,6 +174,7 @@ def main():
     slope("grad-only dots XLA-attn", "dots", False, False)
     slope("grad-only dots flash FUSED-QKV", "dots", None, False, fuse=True)
     slope("grad+adamw8bit dots FUSED-QKV", "dots", None, True, fuse=True)
+    slope("grad+adamw8bit FUSED-APPLY dots flash", "dots", None, "fused")
 
 
 if __name__ == "__main__":
