@@ -111,10 +111,11 @@ def _call(g, p, mq, ms, nq, ns, svec, wd, b1, b2, eps, interpret, emit_new):
     r, c = g.shape
     assert c % BLOCK == 0, c
     nbc = c // BLOCK
-    # tile rows so the f32 transients (4 B/el, ~8 live at once before
-    # Mosaic reuses stack slots) stay under VMEM: ~128K elements per tile
-    # (0.5M-element tiles measured 19.3M of scoped vmem, over the 16M cap)
-    tr = max(8, min(256, ((1 << 17) // c) // 8 * 8))
+    # ~512K elements per tile under a raised scoped-VMEM cap: the tr sweep
+    # at the 7B leaf shape (scripts/micro_opt_kernel.py, c=4096) measured
+    # tr=128 at 4.71 ms vs 6.4-6.7 ms for tr=32/64/256 — the 128K-element
+    # tiles of the old default were grid-step-overhead bound (1,536 steps)
+    tr = max(8, min(256, ((1 << 19) // c + 4) // 8 * 8))
     grid = (pl.cdiv(r, tr),)
 
     kern = functools.partial(
@@ -150,15 +151,15 @@ def _call(g, p, mq, ms, nq, ns, svec, wd, b1, b2, eps, interpret, emit_new):
             jax.ShapeDtypeStruct((r, nbc), jnp.float32),
         ],
         input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            # 512K-el tiles: ~7 MB of blocks double-buffered + f32
+            # transients; the 16 MB default cap rejects them, v5e has 128
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(svec, g, p, mq, ms, nq, ns)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("wd", "b1", "b2", "eps", "interpret"),
-    donate_argnums=(2, 3, 4, 5),
-)
 def fused_adamw8bit_leaf(
     g: jax.Array,  # (R, C) grad view, C % 256 == 0
     p: jax.Array,  # (R, C) param view (read only when wd != 0)
@@ -174,15 +175,16 @@ def fused_adamw8bit_leaf(
     interpret: bool = False,
 ):
     """Returns (upd, mq', ms', nq', ns') with upd = -lr*(adam_step + wd*p).
-    Moment inputs are donated (aliased to the outputs)."""
+    Moment buffers alias the outputs (pallas input_output_aliases).
+
+    NOT jitted on purpose: call under an enclosing jit (the train step).
+    A nested @jax.jit boundary hides the moment buffers' liveness from
+    XLA, which then inserts defensive copies of all four — measured
+    +1.8 ms at the 7B leaf (scripts/micro_opt_kernel.py: wrapped 6.5 ms
+    vs inlined 4.7 ms)."""
     return _call(g, p, mq, ms, nq, ns, svec, wd, b1, b2, eps, interpret, False)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("wd", "b1", "b2", "eps", "interpret"),
-    donate_argnums=(1, 2, 3, 4, 5),
-)
 def fused_adamw8bit_leaf_apply(
     g: jax.Array,
     p: jax.Array,  # donated: p' aliases its buffer

@@ -55,8 +55,8 @@ def _variant_kernel(svec_ref, g_ref, p_ref, mq_ref, ms_ref, nq_ref, ns_ref,
 
     if mode == "floor":
         upd_ref[:] = g_ref[:]
-        mqo_ref[:] = mq_ref[:] + jnp.int8(1)
-        mso_ref[:] = ms_ref[:]
+        mqo_ref[:] = mq_ref[:]
+        mso_ref[:] = ms_ref[:] + 1.0
         nqo_ref[:] = nq_ref[:]
         nso_ref[:] = ns_ref[:]
         return
@@ -101,10 +101,11 @@ def _variant_kernel(svec_ref, g_ref, p_ref, mq_ref, ms_ref, nq_ref, ns_ref,
     nso_ref[:] = vsc.reshape(tr, nbc)
 
 
-def variant_call(g, p, mq, ms, nq, ns, svec, mode):
+def variant_call(g, p, mq, ms, nq, ns, svec, mode, tr=None):
     r, c = g.shape
     nbc = c // BLOCK
-    tr = max(8, min(256, ((1 << 17) // c) // 8 * 8))
+    if tr is None:
+        tr = max(8, min(256, ((1 << 17) // c) // 8 * 8))
     row = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     srow = pl.BlockSpec((tr, nbc), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -120,7 +121,21 @@ def variant_call(g, p, mq, ms, nq, ns, svec, mode):
             jax.ShapeDtypeStruct((r, nbc), jnp.float32),
         ],
         input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(svec, g, p, mq, ms, nq, ns)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tr", "mode"))
+def multi_tr(g, p, st, svec, k, tr, mode="full"):
+    def body(st, _):
+        mq, ms, nq, ns = st
+        upd, mq, ms, nq, ns = variant_call(g, p, mq, ms, nq, ns, svec, mode, tr=tr)
+        return (mq, ms, nq, ns), jnp.sum(upd[0, :8].astype(jnp.float32))
+
+    st, ys = jax.lax.scan(body, st, None, length=k)
+    return ys[-1] + st[1][0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "k", "prod"))
@@ -176,6 +191,16 @@ def main():
     res["prod"] = pair_time(
         lambda k: multi(g, p, st0, svec, "full", k, prod=True), "production kernel"
     )
+
+    # row-tile sweep: 1536 grid steps at tr=32 may be step-overhead bound
+    for tr in (64, 128, 256):
+        pair_time(
+            lambda k, tr=tr: multi_tr(g, p, st0, svec, k, tr), f"variant:full tr={tr}"
+        )
+        pair_time(
+            lambda k, tr=tr: multi_tr(g, p, st0, svec, k, tr, mode="floor"),
+            f"variant:floor tr={tr}",
+        )
 
     # the XLA apply pass the kernel leaves outside (read p+upd, write p)
     upd0 = jnp.asarray(rng.standard_normal((R, C)) * 1e-9, jnp.bfloat16)
