@@ -20,9 +20,11 @@ is a multiple of 256 are stored PARAM-SHAPED (q same shape as the param,
 scales (rows, C/256) f32 — identical 256-contiguous-element block
 semantics, zero-copy reshapes) and the whole update runs as ONE fused
 Pallas pass per leaf (ops/opt8bit_kernel.py) with clip, bias correction,
-weight decay and lr folded in and the moment buffers donated. Leaves with
-awkward last dims (lm_head's 32006) keep the flat (nblocks, 256) layout
-and XLA math.
+weight decay and lr folded in and the moment buffers donated. Leaves whose last dim is NOT 256-aligned but
+whose SIZE is (lm_head: (4096, 32006)) store moments in a FLAT-2D view
+((16003, 8192) — same row-major block semantics, one grad/param relayout
+copy) so they run the fused kernel too; only size % 256 != 0 leaves keep
+the padded (nblocks, 256) layout and XLA math.
 """
 
 from __future__ import annotations
@@ -99,6 +101,33 @@ def _dequantize_log(qm: _QMoment, shape, size: int) -> jax.Array:
 
 def _is_shaped(qm: _QMoment, p_shape) -> bool:
     return qm.q.shape == tuple(p_shape)
+
+
+def _flat2d_cols(size: int) -> Optional[int]:
+    """Largest 256-multiple c <= 8192 dividing ``size``: a (size//c, c)
+    row-major FLAT-2D view with identical 256-contiguous-element block
+    semantics. Lets leaves whose LAST DIM is not 256-aligned but whose
+    SIZE is (lm_head: (4096, 32006) -> (16003, 8192)) run the fused Pallas
+    update instead of the legacy (nblocks, 256) XLA path, whose relayout
+    copies were the measured 49 ms/layer pathology (module docstring).
+    Returns None when size % 256 != 0 (those keep the padded flat path)."""
+    for c in range(8192, 0, -BLOCK):
+        if size % c == 0:
+            return c
+    return None
+
+
+def _view_rc(qm: _QMoment, g: jax.Array):
+    """(rows, cols) 2D view on which the shaped/fused math can run, or
+    None (padded legacy storage). Shaped storage collapses leading dims
+    (zero-copy); flat2d storage dictates its own (r, c) — the grad/param
+    reshape to it is one relayout copy, vs the legacy path's ~6 f32
+    relayout passes."""
+    if qm.q.shape == g.shape:
+        return _rc_view(g.shape)
+    if qm.q.ndim == 2 and qm.q.size == g.size and qm.q.shape[1] % BLOCK == 0:
+        return tuple(qm.q.shape)
+    return None
 
 
 def _rc_view(shape):
@@ -184,6 +213,9 @@ def scale_by_adam_8bit(
                     return z
                 if p.shape[-1] % BLOCK == 0:
                     return quant_shaped(z)
+                c = _flat2d_cols(p.size)
+                if c is not None:
+                    return quant_shaped(z.reshape(p.size // c, c))
                 return quant(z, p.size)
 
             return f
@@ -217,14 +249,22 @@ def scale_by_adam_8bit(
             if not isinstance(mu, _QMoment):
                 m, v, step = adam_math(mu, nu, g.astype(jnp.float32))
                 return step.astype(g.dtype), m, v
-            if _is_shaped(mu, g.shape):
-                m = _dequantize_signed_shaped(mu, g.shape)
-                v = _dequantize_log_shaped(nu, g.shape)
-                m, v, step = adam_math(m, v, g.astype(jnp.float32))
+            view = _view_rc(mu, g)
+            if view is not None:
+                r, c = view
+                g2 = g.reshape(r, c)
+                m = _dequantize_signed_shaped(
+                    _QMoment(mu.q.reshape(r, c), mu.scale.reshape(r, c // BLOCK)), (r, c)
+                )
+                v = _dequantize_log_shaped(
+                    _QMoment(nu.q.reshape(r, c), nu.scale.reshape(r, c // BLOCK)), (r, c)
+                )
+                m, v, step = adam_math(m, v, g2.astype(jnp.float32))
+                qm, qv = _quantize_signed_shaped(m), _quantize_log_shaped(v)
                 return (
-                    step.astype(g.dtype),
-                    _quantize_signed_shaped(m),
-                    _quantize_log_shaped(v),
+                    step.reshape(g.shape).astype(g.dtype),
+                    _QMoment(qm.q.reshape(mu.q.shape), qm.scale.reshape(mu.scale.shape)),
+                    _QMoment(qv.q.reshape(nu.q.shape), qv.scale.reshape(nu.scale.shape)),
                 )
             m = _dequantize_signed(mu, g.shape, g.size)
             v = _dequantize_log(nu, g.shape, g.size)
@@ -326,30 +366,39 @@ def adamw_8bit(
 
         def upd_leaf(path, g, mu, nu, p, wd_leaf):
             wd = float(weight_decay) if (weight_decay and wd_leaf) else 0.0
-            if isinstance(mu, _QMoment) and _is_shaped(mu, g.shape) and kernel_ok:
-                r, c = _rc_view(g.shape)
+            view = _view_rc(mu, g) if isinstance(mu, _QMoment) else None
+            if view is not None and kernel_ok:
+                r, c = view
                 kern = fused_adamw8bit_leaf_apply if emit_new_params else fused_adamw8bit_leaf
                 upd, mq, ms, nq, ns = kern(
                     g.reshape(r, c),
                     p.reshape(r, c),
-                    mu.q.reshape(r, c), mu.scale,
-                    nu.q.reshape(r, c), nu.scale,
+                    mu.q.reshape(r, c), mu.scale.reshape(r, c // BLOCK),
+                    nu.q.reshape(r, c), nu.scale.reshape(r, c // BLOCK),
                     svec, wd=wd, b1=b1, b2=b2, eps=eps, interpret=interpret,
                 )
                 return (
                     upd.reshape(g.shape),
-                    _QMoment(mq.reshape(g.shape), ms),
-                    _QMoment(nq.reshape(g.shape), ns),
+                    _QMoment(mq.reshape(mu.q.shape), ms.reshape(mu.scale.shape)),
+                    _QMoment(nq.reshape(nu.q.shape), ns.reshape(nu.scale.shape)),
                 )
             # XLA fallback, same folding
             if not isinstance(mu, _QMoment):
                 m, v, step = adam_math(mu, nu, g.astype(jnp.float32))
                 new_mu, new_nu = m, v
-            elif _is_shaped(mu, g.shape):
-                m = _dequantize_signed_shaped(mu, g.shape)
-                v = _dequantize_log_shaped(nu, g.shape)
-                m, v, step = adam_math(m, v, g.astype(jnp.float32))
-                new_mu, new_nu = _quantize_signed_shaped(m), _quantize_log_shaped(v)
+            elif view is not None:
+                r, c = view
+                m = _dequantize_signed_shaped(
+                    _QMoment(mu.q.reshape(r, c), mu.scale.reshape(r, c // BLOCK)), (r, c)
+                )
+                v = _dequantize_log_shaped(
+                    _QMoment(nu.q.reshape(r, c), nu.scale.reshape(r, c // BLOCK)), (r, c)
+                )
+                m, v, step = adam_math(m, v, g.reshape(r, c).astype(jnp.float32))
+                step = step.reshape(g.shape)
+                qm, qv = _quantize_signed_shaped(m), _quantize_log_shaped(v)
+                new_mu = _QMoment(qm.q.reshape(mu.q.shape), qm.scale.reshape(mu.scale.shape))
+                new_nu = _QMoment(qv.q.reshape(nu.q.shape), qv.scale.reshape(nu.scale.shape))
             else:
                 m = _dequantize_signed(mu, g.shape, g.size)
                 v = _dequantize_log(nu, g.shape, g.size)

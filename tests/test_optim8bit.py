@@ -263,7 +263,11 @@ def test_fused_apply_matches_separate_apply(monkeypatch, kernel_mode):
         jax.tree_util.tree_leaves(s_on.params), jax.tree_util.tree_leaves(s_off.params)
     ):
         np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-5, atol=1e-7
+            # atol covers int8-code boundary flips: the two paths round
+            # p' once vs twice, so after a few steps a moment code can
+            # differ by 1 at a quantization boundary (~lr-scale deviation
+            # on isolated elements — observed 1/8192 at 1.6e-5)
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-5, atol=2e-5
         )
     # frozen partition must be untouched by the merge (identity, not +0)
     for key in ("clip",):
@@ -272,3 +276,59 @@ def test_fused_apply_matches_separate_apply(monkeypatch, kernel_mode):
             jax.tree_util.tree_leaves(params[key]),
         ):
             assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flat2d_storage_runs_kernel_on_unaligned_last_dim(monkeypatch):
+    """A leaf whose LAST DIM is not 256-aligned but whose SIZE is (the
+    lm_head class, (4096, 32006)) must store moments in the flat-2D view
+    (size//c, c) with c % 256 == 0 — kernel-eligible — so the fused Pallas
+    update runs instead of the legacy (nblocks, 256) relayout path. The
+    interpret kernel and the XLA fallback must agree tightly; both track
+    fp32 AdamW up to 8-bit moment noise (isolated elements where a v code
+    flips can deviate by ~0.7x lr; the mean tracks closely)."""
+    import gpt4roi_tpu.train.optim8bit as o8
+
+    def run(mode):
+        monkeypatch.setenv("GPT4ROI_OPT8BIT_KERNEL", mode)
+        key = jax.random.PRNGKey(3)
+        # (32, 1000): last dim 1000 % 256 != 0, size 32000 = 5 * 6400
+        params = {"head": {"kernel": jax.random.normal(key, (32, 1000)) * 0.05}}
+        tx = adamw_8bit(
+            1e-3, weight_decay=0.02, min_quant_size=1024, clip_global_norm=1.0
+        )
+        st = tx.init(params)
+        mu = st.mu["head"]["kernel"]
+        assert isinstance(mu, _QMoment)
+        assert mu.q.ndim == 2 and mu.q.shape[1] % o8.BLOCK == 0
+        assert mu.q.size == params["head"]["kernel"].size
+        assert mu.q.shape != params["head"]["kernel"].shape  # genuinely flat2d
+        assert mu.scale.shape == (mu.q.shape[0], mu.q.shape[1] // o8.BLOCK)
+        p8 = params
+        for i in range(4):
+            g = jax.tree_util.tree_map(
+                lambda x: x * (0.03 + 0.01 * i),
+                {"head": {"kernel": jax.random.normal(jax.random.PRNGKey(20 + i), (32, 1000))}},
+            )
+            u8, st = tx.update(g, st, p8)
+            p8 = optax.apply_updates(p8, u8)
+        return p8["head"]["kernel"], g["head"]["kernel"]
+
+    p_off, _ = run("off")
+    p_int, _ = run("interpret")
+    # kernel vs fallback: same math up to transcendental rounding
+    np.testing.assert_allclose(np.asarray(p_int), np.asarray(p_off), rtol=0, atol=2e-5)
+
+    # fp32 reference with the same folded clip
+    ref = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3, weight_decay=0.02))
+    key = jax.random.PRNGKey(3)
+    pf = {"head": {"kernel": jax.random.normal(key, (32, 1000)) * 0.05}}
+    rst = ref.init(pf)
+    for i in range(4):
+        g = jax.tree_util.tree_map(
+            lambda x: x * (0.03 + 0.01 * i),
+            {"head": {"kernel": jax.random.normal(jax.random.PRNGKey(20 + i), (32, 1000))}},
+        )
+        uf, rst = ref.update(g, rst, pf)
+        pf = optax.apply_updates(pf, uf)
+    d = np.abs(np.asarray(p_off) - np.asarray(pf["head"]["kernel"]))
+    assert d.max() < 2e-3 and d.mean() < 5e-5, (d.max(), d.mean())
