@@ -174,16 +174,22 @@ def measure_train(stage: str = "stage2", timeout_s: int = 1700):
     cmd = [
         sys.executable, os.path.join(here, "scripts", "bench_train.py"),
         "--stage", stage, "--scan_layers", "--optimizer", "adamw8bit",
-        # L=6/4/2: three measured points (linearity checked, not assumed).
-        # L=8 at b=2 cannot fit one 16 GB chip for structural reasons, not
-        # optimizer transients (those are per-layer since r4): params+int8
-        # moments are 9.5 GB of arguments and the stacked wgrad tree is
-        # another 3.3 GB — see PARITY.md known-gaps.
-        "--param_dtype", "bfloat16", "--depths", "6,4,2",
+        # three measured depths (linearity checked, not assumed). Stage-2
+        # uses L=5/4/2: with the fused qkv/gate_up training matmuls L=6 at
+        # b=2 no longer fits one 16 GB chip (the fused wgrad/dgrad
+        # transients are wider; L=8 was already structural — params+int8
+        # moments are 9.5 GB of arguments, the stacked wgrad tree another
+        # 3.3 GB, see PARITY.md known-gaps). Stage-1 at b=1 keeps 6/4/2.
+        "--param_dtype", "bfloat16",
+        "--depths", "6,4,2" if stage == "stage1" else "5,4,2",
         # dots remat: measured within 1.5% of the no-remat floor at L=4
         # while full remat pays ~8 ms/layer of recompute (BASELINE.md
         # train-anchor table)
-        "--remat", "dots", "--json",
+        "--remat", "dots",
+        # fused stacked q/k/v and gate/up training matmuls: slope
+        # 50.43 -> 46.86 ms/layer measured (BASELINE.md round-4 table);
+        # grad parity asserted in tests/test_train.py
+        "--fuse_qkv", "--json",
     ]
     if stage == "stage1":
         # reference stage-1 recipe: per-device batch 1 (train_stage1.sh:20)
