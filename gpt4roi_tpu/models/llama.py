@@ -460,6 +460,72 @@ def llama_decode_step_stacked(
     return logits, cache_k, cache_v
 
 
+def llama_verify_step_stacked(
+    params: Params,  # embed/final_norm/lm_head + 'layers_stacked'
+    cfg: LlamaConfig,
+    cache_k: jax.Array,  # (L, B, S_max, N_kv, D)
+    cache_v: jax.Array,
+    token_embeds: jax.Array,  # (B, T, D) — last accepted token + T-1 drafts
+    cache_len: jax.Array,  # (B,) valid prefix length (excludes the window)
+    key_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Speculative-verify step: score T candidate positions in ONE pass.
+
+    Identical structure to ``llama_decode_step_stacked`` (cache slices are
+    read-only scan xs, fresh K/V return as ys, one scatter outside the
+    scan) but with a T-row window attending cache + causal-within-window
+    (ops/attention.py::decode_attention_window). Decode at 7B W8A8 is
+    weight-bandwidth-bound (~88%% of the weight roofline, BASELINE.md), so
+    the T-1 extra rows ride the same weight stream nearly free — this is
+    the primitive that lets prompt-lookup speculative decoding
+    (serve/speculative.py) emit multiple tokens per weight pass where the
+    reference emits exactly one (llava/serve/model_worker.py:182-260).
+
+    ALL T rows are written into the cache at positions
+    cache_len .. cache_len+T-1; rejected rows are stale but invisible (the
+    attention mask only admits keys below the next step's cache_len) and
+    are overwritten when accepted tokens advance past them — rollback is
+    free. Returns (logits (B, T, V), new_cache_k, new_cache_v)."""
+    from gpt4roi_tpu.ops.attention import decode_attention_window
+
+    b, t, d = token_embeds.shape
+    nh, nkv, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+    pos = cache_len[:, None] + jnp.arange(t)[None, :]  # (B, T) absolute
+    cos, sin = rope_tables(cfg, pos)
+
+    def body(x, per_layer):
+        lp, ck_buf, cv_buf = per_layer
+        y = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_eps)
+        q, k, v = _qkv_proj(lp, y, nh, nkv, hd)
+        q = apply_rope(q.reshape(b, t, nh, hd), cos, sin)
+        k = apply_rope(k.reshape(b, t, nkv, hd), cos, sin)
+        v = v.reshape(b, t, nkv, hd)
+        kr = _repeat_kv(ck_buf.astype(q.dtype), nh // nkv)
+        vr = _repeat_kv(cv_buf.astype(q.dtype), nh // nkv)
+        k_rep = _repeat_kv(k, nh // nkv)
+        v_rep = _repeat_kv(v, nh // nkv)
+        att = decode_attention_window(
+            q, kr, vr, k_rep.astype(q.dtype), v_rep.astype(q.dtype),
+            cache_len, key_mask=key_mask,
+        )
+        x = x + _proj(lp["o"], att.reshape(b, t, d))
+        y = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_eps)
+        return x + _mlp(lp, y), (k, v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, token_embeds, (params["layers_stacked"], cache_k, cache_v)
+    )
+    # one scatter of all layers' T fresh rows (same idiom as decode:
+    # scatter beats dynamic_update_slice inside decode loops on this
+    # backend — models/llama.py::_cache_write)
+    bix = jnp.arange(b)[:, None]
+    cache_k = cache_k.at[:, bix, pos].set(new_k.astype(cache_k.dtype))
+    cache_v = cache_v.at[:, bix, pos].set(new_v.astype(cache_v.dtype))
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+    logits = _proj(params["lm_head"], x)  # (B, T, V)
+    return logits, cache_k, cache_v
+
+
 def llama_extend(
     params: Params,
     cfg: LlamaConfig,

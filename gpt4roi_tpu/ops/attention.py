@@ -479,6 +479,52 @@ def decode_attention_self(
     return out.astype(q.dtype)
 
 
+def decode_attention_window(
+    q: jax.Array,  # (B, T, N, D) — T fresh query rows (speculative verify)
+    k_cache: jax.Array,  # (B, S, N, D) — WITHOUT the fresh window
+    v_cache: jax.Array,
+    k_new: jax.Array,  # (B, T, N, D) fresh keys (not yet cached)
+    v_new: jax.Array,
+    cache_len: jax.Array,  # (B,) strictly-past prefix length
+    key_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """T-query generalisation of ``decode_attention_self``: window row i
+    (absolute position cache_len+i) attends the valid cache prefix plus
+    window keys j <= i (causal within the fresh block). The cache stays
+    READ-ONLY inside scan-over-layers (same rationale/math as
+    decode_attention_self); with T == 1 this reduces to it exactly.
+
+    Powers speculative-decode verification (serve/speculative.py): one
+    weight pass scores T draft positions — on a weight-bandwidth-bound
+    decode the marginal cost of T-1 extra rows is near zero. The
+    reference decodes strictly one token per forward
+    (llava/serve/model_worker.py:182-260)."""
+    d = q.shape[-1]
+    t = q.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    logits_c = jnp.einsum(
+        "bqnd,bknd->bnqk", q, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    s = k_cache.shape[1]
+    valid = jnp.arange(s)[None, :] < cache_len[:, None]
+    if key_mask is not None:
+        valid = valid & key_mask.astype(bool)
+    logits_c = jnp.where(valid[:, None, None, :], logits_c, _NEG_INF)
+    logits_w = jnp.einsum(
+        "bqnd,bknd->bnqk", q, k_new.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (B, N, T, T)
+    causal = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]  # key j <= query i
+    logits_w = jnp.where(causal[None, None], logits_w, _NEG_INF)
+    probs = jax.nn.softmax(jnp.concatenate([logits_c, logits_w], axis=-1), axis=-1)
+    out = jnp.einsum(
+        "bnqk,bknd->bqnd", probs[..., :s].astype(v_cache.dtype), v_cache
+    ) + jnp.einsum(
+        "bnqk,bknd->bqnd", probs[..., s:].astype(v_new.dtype), v_new
+    )
+    return out.astype(q.dtype)
+
+
 def decode_attention(
     q: jax.Array,  # (B, 1, N, D)
     k_cache: jax.Array,  # (B, S, N, D)

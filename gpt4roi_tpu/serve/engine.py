@@ -59,6 +59,14 @@ class EngineConfig:
     # the model axis; XLA SPMD inserts the collectives). The reference has
     # no tensor parallelism at all.
     mesh: Any = None
+    # >1 enables prompt-lookup speculative decoding for greedy
+    # (temperature == 0) LLaMA requests: each weight pass verifies a
+    # window of `speculative_window` tokens drafted on-device from the
+    # sequence's own n-gram history (serve/speculative.py). Output is
+    # bit-identical to vanilla greedy decode (tests/test_speculative.py);
+    # throughput gain scales with draft acceptance. The reference emits
+    # strictly one token per forward (llava/serve/model_worker.py:182-260).
+    speculative_window: int = 0
 
 
 def _round_up(n: int, m: int) -> int:
@@ -193,6 +201,21 @@ class Engine:
             (tok, cache, clen), toks = jax.lax.scan(body, (token_ids, cache, cache_len), keys)
             return toks.T, cache  # (B, n_steps)
 
+        @functools.partial(
+            jax.jit, static_argnames=("n_steps", "window"), donate_argnums=(1, 2)
+        )
+        def spec_chunk_fn(params, cache, ids_buf, cur, n_steps, window):
+            """Greedy speculative chunk: n_steps verify passes, each
+            emitting 1..window tokens (serve/speculative.py). LLaMA
+            stacked-layout only; cache and ids buffers donated."""
+            from gpt4roi_tpu.serve.speculative import spec_decode_chunk
+
+            ck, cv = cache
+            ids_buf, cur, ck, cv, emitted = spec_decode_chunk(
+                params["llama"], cfg_.llama, ck, cv, ids_buf, cur, n_steps, window
+            )
+            return ids_buf, cur, (ck, cv), emitted
+
         @functools.partial(jax.jit, static_argnames=("prefill_len", "kv_rows"))
         def prefill_ragged_fn(params, input_ids, pad_len, images, boxes, box_mask,
                               prefill_len, kv_rows=None, logits_at=None):
@@ -323,6 +346,7 @@ class Engine:
         self._decode = jax.jit(one_step)
         self._decode_chunk = decode_chunk_fn
         self._decode_chunk_ragged = decode_chunk_ragged_fn
+        self._spec_chunk = spec_chunk_fn
         self._encode_vision = encode_vision_fn
         self._extend = extend_fn
 
@@ -537,6 +561,49 @@ class Engine:
                     done[i] = True
 
         check_stops()
+        spec_w = int(self.ecfg.speculative_window or 0)
+        if (
+            spec_w > 1
+            and temperature == 0.0
+            and self.cfg.decoder_type == "llama"
+            and self._stacked
+            and remaining > 0
+            and not done.all()
+        ):
+            # prompt-lookup speculative greedy decode: per-row valid-length
+            # vector replaces the scalar cache_len; each chunk of n verify
+            # passes emits n..n*spec_w tokens per row. Bit-identical output
+            # to the vanilla loop below (tests/test_speculative.py).
+            buf = jnp.zeros((b, total), jnp.int32).at[:, :s].set(
+                jnp.asarray(input_ids.astype(np.int32))
+            )
+            buf = buf.at[jnp.arange(b), jnp.asarray(lengths)].set(jnp.asarray(next_tok))
+            cur = jnp.asarray(lengths + 1, jnp.int32)
+            while not done.all():
+                need = max(
+                    (max_new_tokens - min(
+                        len(outputs[i]) for i in range(b) if not done[i]
+                    )),
+                    0,
+                )
+                cur_np = np.asarray(cur)
+                room = (total - int(cur_np.max())) // spec_w
+                n = min(chunk_size, need, room)
+                if n <= 0:
+                    break
+                buf, cur, cache, _ = self._spec_chunk(
+                    self.params, cache, buf, cur, n, spec_w
+                )
+                buf_np = np.asarray(buf)
+                cur_np = np.asarray(cur)
+                for i in range(b):
+                    if not done[i]:
+                        end = min(int(cur_np[i]), int(lengths[i]) + max_new_tokens)
+                        outputs[i] = [int(t) for t in buf_np[i, int(lengths[i]):end]]
+                check_stops()
+                if all(len(outputs[i]) >= max_new_tokens or done[i] for i in range(b)):
+                    break
+            remaining = 0  # the vanilla chunk loop below is skipped
         while remaining > 0 and not done.all():
             n = min(chunk_size, remaining)
             key, sub = jax.random.split(key)
