@@ -158,7 +158,8 @@ def main():
             try:
                 t, _ = measure_depth(args, L, dtype, param_dtype, args.k)
             except Exception as e:  # depth doesn't fit this chip (HBM OOM)
-                print(f"depth {L} failed ({type(e).__name__}); dropping", file=sys.stderr)
+                print(f"depth {L} failed ({type(e).__name__}): "
+                      f"{str(e)[:500]}; dropping", file=sys.stderr)
                 continue
             ts.append(t)
             kept.append(L)

@@ -47,6 +47,7 @@ def mix_dir(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_cli_stage2_tiny_adamw8bit(mix_dir, tmp_path, capsys):
     from gpt4roi_tpu.train import cli
 

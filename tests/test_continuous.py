@@ -118,6 +118,7 @@ def test_sessions_share_batch_match_sequential(tiny_engine, rng):
     assert not ce.reserved.any()
 
 
+@pytest.mark.slow
 def test_churn_stress_slot_reuse_and_parity(tiny_engine, rng):
     """Randomized churn (VERDICT r3 item 9): staggered arrivals with varying
     max_new_tokens, mid-flight cancellations, and interleaved multi-round

@@ -102,6 +102,7 @@ def test_loss_trajectory_tracks_fp32():
     np.testing.assert_allclose(l8, lf, rtol=0.08)
 
 
+@pytest.mark.slow
 def test_full_train_state_integration():
     """TrainConfig(optimizer='adamw8bit') drops total opt-state bytes and
     still trains the tiny GPT4RoI model."""
@@ -223,6 +224,7 @@ def test_folded_clip_matches_chained_clip():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kernel_mode", ["off", "interpret"])
 def test_fused_apply_matches_separate_apply(monkeypatch, kernel_mode):
     """emit_new_params=True (apply_updates folded into the update — the

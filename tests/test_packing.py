@@ -51,6 +51,7 @@ def make_sample(cfg, rng, n_extra, n_boxes):
     }
 
 
+@pytest.mark.slow
 def test_packed_matches_unpacked(tiny, rng):
     cfg, params = tiny
     samples = [

@@ -162,6 +162,7 @@ def test_stacked_decode_matches_unrolled(rng):
         np.testing.assert_allclose(np.asarray(nv), np.stack([np.asarray(x) for x in want_cache.v]), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_engine_cached_session(rng):
     """Prefix-cache chat rounds with the fused-int8 layout (regression:
     llama_extend must use the fused-aware projections)."""

@@ -21,6 +21,8 @@ suite, kept in the default run on purpose.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: run with -m '' (see README)
+
 import jax
 import jax.numpy as jnp
 

@@ -146,6 +146,7 @@ def test_spi_parity(cfg, rng):
     assert np.abs(got[1, 3:]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_spi_grad_flows(cfg, rng):
     import jax
     import jax.numpy as jnp

@@ -40,6 +40,7 @@ def test_tp_forward_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_engine_generate_matches_single_device(rng):
     """Tensor-parallel SERVING (beyond-reference): an Engine sharded over a
     (1, 4) mesh reproduces single-device greedy generation exactly."""
@@ -71,6 +72,7 @@ def test_tp_engine_generate_matches_single_device(rng):
     assert got == want
 
 
+@pytest.mark.slow
 def test_tp_train_step_2d_mesh(rng):
     """Combined FSDP x TP training (VERDICT r2 item 5): a full train step on
     a (data=2, model=4) mesh with Megatron decoder specs + masked optimizer

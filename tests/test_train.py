@@ -124,6 +124,7 @@ def test_loss_decreases(tiny, rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev(tiny, rng):
     cfg, params = tiny
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
