@@ -186,13 +186,16 @@ def train_cmd(stage: str):
         sys.executable, os.path.join(HERE, "scripts", "bench_train.py"),
         "--stage", stage, "--scan_layers", "--optimizer", "adamw8bit",
         # three measured depths (linearity checked, not assumed). Stage-2
-        # uses L=5/4/2: with the fused qkv/gate_up training matmuls L=6 at
-        # b=2 no longer fits one 16 GB chip (the fused wgrad/dgrad
-        # transients are wider; L=8 was already structural — params+int8
-        # moments are 9.5 GB of arguments, the stacked wgrad tree another
-        # 3.3 GB, see PARITY.md known-gaps). Stage-1 at b=1 keeps 6/4/2.
+        # uses L=4/3/2: with the fused qkv/gate_up training matmuls the
+        # wider wgrad/dgrad transients push BOTH L=6 and L=5 at b=2 over
+        # one 16 GB chip (L=5 RESOURCE_EXHAUSTED measured in round-5
+        # triage; L=8 was already structural — params+int8 moments are
+        # 9.5 GB of arguments, the stacked wgrad tree another 3.3 GB, see
+        # PARITY.md known-gaps). Stage-1 at b=1 keeps 6/4/2. Each depth
+        # runs in its own subprocess (bench_train.py --depths): an OOM
+        # depth must not poison the remaining depths' device client.
         "--param_dtype", "bfloat16",
-        "--depths", "6,4,2" if stage == "stage1" else "5,4,2",
+        "--depths", "6,4,2" if stage == "stage1" else "4,3,2",
         # dots remat: measured within 1.5% of the no-remat floor at L=4
         # while full remat pays ~8 ms/layer of recompute (BASELINE.md
         # train-anchor table)

@@ -20,6 +20,7 @@ seq 2048, bf16, grad checkpointing). Invoke manually or via bench.py
 import argparse
 import dataclasses
 import json
+import subprocess
 import os
 import sys
 import time
@@ -127,6 +128,8 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--seq", type=int, default=2048)
     p.add_argument("--regions", type=int, default=16)
+    p.add_argument("--depth_timeout", type=int, default=600,
+                   help="per-depth subprocess timeout (s), --depths mode")
     p.add_argument("--stage", default="stage2", choices=["stage1", "stage2"])
     p.add_argument("--k", type=int, default=3, help="steps per timed dispatch")
     p.add_argument("--scan_layers", action="store_true")
@@ -146,20 +149,50 @@ def main():
     except Exception:
         pass
 
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    param_dtype = jnp.bfloat16 if args.param_dtype == "bfloat16" else jnp.float32
-
     if args.depths:
+        # NOTE: no jax.default_backend()/device use in this branch — the
+        # parent must NOT create a TPU client before its depth subprocesses
+        # run (two clients contending for the RPC tunnel — CLAUDE.md)
         depths = sorted({int(d) for d in args.depths.split(",")}, reverse=True)
         assert len(depths) >= 2
         ts, kept = [], []
         for L in depths:
+            # each depth runs in its OWN subprocess: a depth that OOMs (or
+            # otherwise kills the device client) must not poison the
+            # remaining depths — measured failure mode on the axon tunnel:
+            # after an in-process L=5 fuse_qkv OOM, L=4 and L=2 ALSO raised
+            # JaxRuntimeError though each fits fine alone (round-5 triage)
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--stage", args.stage, "--layers", str(L), "--layers2", "0",
+                "--optimizer", args.optimizer, "--remat", args.remat,
+                "--param_dtype", args.param_dtype, "--batch", str(args.batch),
+                "--seq", str(args.seq), "--regions", str(args.regions),
+                "--k", str(args.k), "--json",
+            ]
+            if args.scan_layers:
+                cmd.append("--scan_layers")
+            if args.fuse_qkv:
+                cmd.append("--fuse_qkv")
             try:
-                t, _ = measure_depth(args, L, dtype, param_dtype, args.k)
+                proc = subprocess.run(
+                    cmd, timeout=args.depth_timeout,
+                    stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+                )
+                data = None
+                for line in reversed(proc.stdout.strip().splitlines()):
+                    try:
+                        data = json.loads(line)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+                assert data is not None and data.get("step_ms", 0) > 0, (
+                    f"rc={proc.returncode}"
+                )
+                t = data["step_ms"] / 1e3
             except Exception as e:  # depth doesn't fit this chip (HBM OOM)
                 print(f"depth {L} failed ({type(e).__name__}): "
-                      f"{str(e)[:500]}; dropping", file=sys.stderr)
+                      f"{str(e)[:300]}; dropping", file=sys.stderr)
                 continue
             ts.append(t)
             kept.append(L)
@@ -187,6 +220,10 @@ def main():
         }
         print(json.dumps(out) if args.json else out)
         return
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    param_dtype = jnp.bfloat16 if args.param_dtype == "bfloat16" else jnp.float32
 
     t1, loss1 = measure_depth(args, args.layers, dtype, param_dtype, args.k)
     out = {
