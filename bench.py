@@ -200,14 +200,21 @@ def train_cmd(stage: str):
         # while full remat pays ~8 ms/layer of recompute (BASELINE.md
         # train-anchor table)
         "--remat", "dots",
-        # fused stacked q/k/v and gate/up training matmuls; per-config
-        # numbers recorded in BASELINE.md "round-5 driver-bench config"
-        # table; grad parity asserted in tests/test_train.py
-        "--fuse_qkv", "--json",
+        "--json",
     ]
     if stage == "stage1":
-        # reference stage-1 recipe: per-device batch 1 (train_stage1.sh:20)
+        # reference stage-1 recipe: per-device batch 1 (train_stage1.sh:20).
+        # NO --fuse_qkv: stage 1 elides decoder wgrads entirely
+        # (train/loop.py stop_gradient freeze), so fusion has nothing to
+        # save and measures NET SLOWER — 669 ms/32L fused vs 648 unfused
+        # (BASELINE.md stage-1 round-5 note)
         cmd += ["--batch", "1"]
+    else:
+        # fused stacked q/k/v and gate/up training matmuls: intercept
+        # 286.5 -> 256.0 ms at ~equal slope, 32L 1900 -> 1859 ms
+        # (BASELINE.md round-5 driver-bench config table); grad parity
+        # asserted in tests/test_train.py
+        cmd += ["--fuse_qkv"]
     return cmd
 
 
@@ -215,6 +222,13 @@ def packing_cmd():
     return [
         sys.executable, os.path.join(HERE, "scripts", "bench_packing.py"),
         "--json",
+    ]
+
+
+def speculative_cmd():
+    return [
+        sys.executable, os.path.join(HERE, "scripts", "bench_speculative.py"),
+        "--windows", "1,4", "--steps", "64", "--json",
     ]
 
 
@@ -343,6 +357,18 @@ def main() -> None:
         if d.get("regions_per_sec", 0) > 0:
             result["encode_bf16_regions_per_sec"] = d["regions_per_sec"]
 
+    def h_speculative(d):
+        # speculative verify-pass cost at window 4 (serve/speculative.py):
+        # ms per emitted token = verify_step_ms / E[tokens accepted+1];
+        # reported informationally — the composite decode ratio stays the
+        # vanilla path (acceptance on random weights is meaningless, see
+        # BASELINE.md speculative section for the acceptance-rate math)
+        w4 = d.get("window4") or {}
+        if w4.get("verify_step_ms", 0) > 0:
+            result["spec_verify_step_ms_w4"] = w4["verify_step_ms"]
+            if "breakeven_E" in w4:
+                result["spec_breakeven_accept"] = w4["breakeven_E"]
+
     # Composite components first (a kill mid-run keeps the most valuable
     # partial line); informational phases after.
     phase("encode_int8", self_py + ["--phase", "encode_int8"], 150, 420, h_encode_int8)
@@ -352,6 +378,7 @@ def main() -> None:
     phase("train_stage1", train_cmd("stage1"), 200, 700, h_train1)
     phase("packing", packing_cmd(), 200, 700, h_packing)
     phase("encode_bf16", self_py + ["--phase", "encode_bf16"], 120, 360, h_encode_bf16)
+    phase("speculative", speculative_cmd(), 150, 420, h_speculative)
 
 
 if __name__ == "__main__":

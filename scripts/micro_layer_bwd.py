@@ -14,6 +14,7 @@ ONE host fetch at the end (block_until_ready does not block on the axon
 tunnel).
 """
 
+import functools
 import os
 import sys
 import time
@@ -65,14 +66,15 @@ def tree_dot(tree):
     )
 
 
-def make_step(cfg, remat, use_flash, with_opt):
+def make_step(cfg, remat, use_flash, with_opt, clip=False):
     import optax
     tx = None
     if with_opt:
         from gpt4roi_tpu.train.optim8bit import adamw_8bit
         # with_opt == "fused": round-4 fused-apply path (update emits the
         # new params in-kernel; no separate optax.apply_updates pass)
-        tx = adamw_8bit(1e-5, emit_new_params=(with_opt == "fused"))
+        tx = adamw_8bit(1e-5, emit_new_params=(with_opt == "fused"),
+                        clip_global_norm=(1.0 if clip else None))
 
     def loss_fn(params, embeds, seg):
         _, xh, _ = llama_forward(
@@ -136,6 +138,71 @@ def slope(label, remat, use_flash, with_opt, fuse=False):
     print(f"{label:44s} slope {1e3 * (dts[1] - dts[0]):8.2f} ms/layer", flush=True)
 
 
+def slope_scan(label, with_opt, fuse=False, clip=False, k=4):
+    """Liveness-correct optimizer slope: K steps threaded through ONE
+    jitted lax.scan (params+opt_state as carry — the real train step's
+    dataflow, bench_train.py::multi). The per-call variant above never
+    donates opt_state, so XLA inserts defensive copies of all four moment
+    buffers before each aliased Pallas update (~4 B/el extra traffic) that
+    the production step does NOT pay; (t_2k - t_k)/k also cancels the RPC
+    dispatch constant exactly."""
+    import dataclasses
+
+    import optax
+
+    dts = []
+    for L in (1, 2):
+        cfg = dataclasses.replace(LlamaConfig.llama_7b(), num_layers=L)
+        params, embeds, seg = build(cfg, fuse=fuse)
+        _, tx = make_step(cfg, "dots", None, with_opt, clip=clip)
+
+        def loss_fn(p, e):
+            _, xh, _ = llama_forward(
+                p, cfg, inputs_embeds=e, segment_ids=seg,
+                use_flash=None, remat="dots", scan_layers=True,
+            )
+            return jnp.mean(xh.astype(jnp.float32) ** 2)
+
+        if with_opt:
+            def one(carry, _):
+                p, o = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p, embeds)
+                updates, o = tx.update(grads, o, p)
+                p = updates if with_opt == "fused" else optax.apply_updates(p, updates)
+                return (p, o), loss
+
+            carry0 = (params, tx.init(params))
+        else:
+            # grad-only baseline: iterations chained through a loss salt
+            # (params untouched — no spurious param-write traffic)
+            def one(salt, _):
+                e = embeds + (salt * 1e-30).astype(embeds.dtype)
+                loss, grads = jax.value_and_grad(loss_fn)(params, e)
+                return loss + tree_dot(grads) * 1e-30, loss
+
+            carry0 = jnp.zeros((), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def jmulti(carry, n):
+            carry, losses = jax.lax.scan(one, carry, None, length=n)
+            return losses[-1] + tree_dot(carry) * 1e-30
+
+        def run(n):
+            t0 = time.perf_counter()
+            out = jmulti(carry0, n)
+            float(np.asarray(out))
+            return time.perf_counter() - t0
+
+        run(k)
+        run(2 * k)  # compile+warm both programs
+        t_k = run(k)
+        t_2k = run(2 * k)
+        dt = (t_2k - t_k) / k
+        print(f"{label} L={L}: {dt * 1e3:8.2f} ms/step", flush=True)
+        dts.append(dt)
+    print(f"{label:44s} slope {1e3 * (dts[1] - dts[0]):8.2f} ms/layer", flush=True)
+
+
 def matmul_floor():
     # the layer's exact weight-matmul set, fwd+bwd, no attention/norms
     d, ff = 4096, 11008
@@ -175,6 +242,12 @@ def main():
     slope("grad-only dots flash FUSED-QKV", "dots", None, False, fuse=True)
     slope("grad+adamw8bit dots FUSED-QKV", "dots", None, True, fuse=True)
     slope("grad+adamw8bit FUSED-APPLY dots flash", "dots", None, "fused")
+    # liveness-correct (scan-threaded) optimizer costs — the production
+    # step's real dataflow; per-call jits above overstate the optimizer by
+    # the defensive moment-buffer copies XLA inserts without donation
+    slope_scan("SCAN grad-only FUSED-QKV", False, fuse=True)
+    slope_scan("SCAN grad+opt FUSED-QKV", "fused", fuse=True)
+    slope_scan("SCAN grad+opt+clip FUSED-QKV", "fused", fuse=True, clip=True)
 
 
 if __name__ == "__main__":
