@@ -221,7 +221,14 @@ def train_cmd(stage: str):
 def packing_cmd():
     return [
         sys.executable, os.path.join(HERE, "scripts", "bench_packing.py"),
-        "--json",
+        # L=2/1 at rows=1: packed L>=3 faults the worker on one 16 GB
+        # chip even standalone (round-5 triage; L=4 rows=2 was the round-4
+        # config and no longer compiles since the flat-2D moment change);
+        # rows=1 keeps the timed packed row at the distribution's p95
+        # occupancy so per-sample vision work is faithful. The packing
+        # gain is a padded/packed RATIO at matched rows/depths. Each
+        # (mode, depth) runs in its own subprocess (crash isolation).
+        "--depths", "2,1", "--batch", "1", "--packed_depths", "2", "--json",
     ]
 
 
