@@ -113,15 +113,21 @@ def build_step(stage: str, layers: int, packed: bool, param_dtype, dtype):
         clip=ClipVisionConfig.vit_l_14(),
         llama=dataclasses.replace(LlamaConfig.llama_7b(), num_layers=layers),
     )
-    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg, param_dtype)
-    params = dict(params)
-    params["llama"] = to_stacked_params(params["llama"])
     tcfg = TrainConfig(
         stage=stage, learning_rate=2e-5, total_steps=100, warmup_steps=0,
         optimizer="adamw8bit", remat="dots",
     )
-    tx = make_optimizer(tcfg, params)
-    state = create_train_state(params, tcfg)
+
+    # one jitted init program (params + opt state): eager 7B init pays the
+    # ~2 s RPC dispatch per leaf op on this tunnel (see bench_train.py)
+    def _build(key):
+        params = init_gpt4roi_params(key, cfg, param_dtype)
+        params = dict(params)
+        params["llama"] = to_stacked_params(params["llama"])
+        return create_train_state(params, tcfg)
+
+    state = jax.jit(_build)(jax.random.PRNGKey(0))
+    tx = make_optimizer(tcfg, state.params)
     step = make_train_step(cfg, tcfg, tx, compute_dtype=dtype, packed=packed)
 
     def multi(state, batch, n):

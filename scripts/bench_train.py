@@ -43,18 +43,29 @@ def build_step(args, layers: int, dtype, param_dtype):
         clip=ClipVisionConfig.vit_l_14(),
         llama=dataclasses.replace(LlamaConfig.llama_7b(), num_layers=layers),
     )
-    params = init_gpt4roi_params(jax.random.PRNGKey(0), cfg, param_dtype)
-    if args.scan_layers:
-        params = dict(params)
-        params["llama"] = to_stacked_params(params["llama"])
-        if getattr(args, "fuse_qkv", False):
-            params["llama"] = fuse_stacked_qkv(params["llama"])
+
+    # ONE jitted program builds params AND optimizer state: eager init at
+    # 7B issues hundreds of per-leaf device ops, each paying the ~2 s
+    # RPC dispatch overhead on this tunnel — measured minutes per depth
+    # subprocess, the dominant cost of a warm driver-bench train phase
     tcfg = TrainConfig(
         stage=args.stage, learning_rate=2e-5, total_steps=100, warmup_steps=0,
         optimizer=args.optimizer, remat=args.remat,
     )
+
+    def _build(key):
+        params = init_gpt4roi_params(key, cfg, param_dtype)
+        if args.scan_layers:
+            params = dict(params)
+            params["llama"] = to_stacked_params(params["llama"])
+            if getattr(args, "fuse_qkv", False):
+                params["llama"] = fuse_stacked_qkv(params["llama"])
+        return params
+
+    params = jax.jit(_build)(jax.random.PRNGKey(0))
     tx = make_optimizer(tcfg, params)
-    state = create_train_state(params, tcfg)
+    state = jax.jit(lambda p: create_train_state(p, tcfg), donate_argnums=(0,))(params)
+    params = state.params
     step = make_train_step(cfg, tcfg, tx, compute_dtype=dtype)
 
     def multi(state, batch, n):
