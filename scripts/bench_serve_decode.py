@@ -77,24 +77,11 @@ def build_stacked_params_q(key, cfg, dtype=jnp.bfloat16):
     }
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--layers", type=int, default=32)
-    p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--seq", type=int, default=1024)
-    p.add_argument("--steps", type=int, default=128)
-    p.add_argument("--json", action="store_true")
-    args = p.parse_args()
-
-    os.environ.setdefault("GPT4ROI_QMM", "w8a8")
+def measure_batch(params, cfg, b: int, seq: int, steps: int, dtype):
     from gpt4roi_tpu.models.llama import llama_decode_step_stacked
 
-    cfg = dataclasses.replace(LlamaConfig.llama_7b(), num_layers=args.layers)
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    params = build_stacked_params_q(jax.random.PRNGKey(0), cfg, dtype)
-    L, b = cfg.num_layers, args.batch
-    shape = (L, b, args.seq, cfg.kv_heads, cfg.head_dim)
+    L = cfg.num_layers
+    shape = (L, b, seq, cfg.kv_heads, cfg.head_dim)
     ck = jnp.zeros(shape, dtype)
     cv = jnp.zeros(shape, dtype)
 
@@ -118,26 +105,65 @@ def main():
         np.asarray(tok2)  # host fetch = true barrier on the RPC tunnel
         return time.perf_counter() - t0, ck, cv
 
-    n = args.steps
+    n = steps
     _, ck, cv = run(n, ck, cv)  # compile+warm n
     _, ck, cv = run(2 * n, ck, cv)  # compile+warm 2n
     t_n, ck, cv = run(n, ck, cv)
     t_2n, ck, cv = run(2 * n, ck, cv)
     step_ms = (t_2n - t_n) / n * 1e3  # dispatch/fetch overhead cancels
-    out = {
+    return {
         "step_ms": round(step_ms, 3),
         "single_ms_per_tok": round(step_ms, 3),
         "batch": b,
         "tokens_per_sec": round(b / step_ms * 1e3, 1),
         "raw_t_n_ms_per_tok": round(t_n / n * 1e3, 3),
     }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument(
+        "--batches", type=str, default="",
+        help="comma list; measure several batch sizes in ONE process "
+        "(one TPU client + one cache load instead of one per phase); "
+        "emits {'b<N>': {...}} keyed per batch",
+    )
+    p.add_argument("--seq", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
+
+    os.environ.setdefault("GPT4ROI_QMM", "w8a8")
+
+    cfg = dataclasses.replace(LlamaConfig.llama_7b(), num_layers=args.layers)
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    # one jitted build = one RPC dispatch (eager init is ~20 device ops
+    # at ~2 s dispatch each on this tunnel — bench_train.py pathology)
+    params = jax.jit(
+        lambda k: build_stacked_params_q(k, cfg, dtype)
+    )(jax.random.PRNGKey(0))
+
+    batches = (
+        [int(x) for x in args.batches.split(",") if x] if args.batches
+        else [args.batch]
+    )
+    results = {
+        f"b{b}": measure_batch(params, cfg, b, args.seq, args.steps, dtype)
+        for b in batches
+    }
     if args.json:
+        out = results if args.batches else results[f"b{batches[0]}"]
         print(json.dumps(out))
     else:
-        print(
-            f"int8 stacked decode {args.layers}L batch={b}: {step_ms:.2f} ms/step "
-            f"-> {out['tokens_per_sec']} tok/s (raw incl. dispatch: {out['raw_t_n_ms_per_tok']} ms/tok)"
-        )
+        for key, r in results.items():
+            print(
+                f"int8 stacked decode {args.layers}L {key}: {r['step_ms']:.2f} "
+                f"ms/step -> {r['tokens_per_sec']} tok/s (raw incl. dispatch: "
+                f"{r['raw_t_n_ms_per_tok']} ms/tok)"
+            )
 
 
 if __name__ == "__main__":

@@ -66,7 +66,10 @@ def main():
     cfg = dataclasses.replace(LlamaConfig.llama_7b(), num_layers=args.layers)
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    params = build_stacked_params_q(jax.random.PRNGKey(0), cfg, dtype)
+    # one jitted build = one RPC dispatch (see bench_serve_decode.py)
+    params = jax.jit(
+        lambda k: build_stacked_params_q(k, cfg, dtype)
+    )(jax.random.PRNGKey(0))
     L, b, s = cfg.num_layers, args.batch, args.seq
 
     out = {"batch": b, "layers": L}
